@@ -1,0 +1,171 @@
+"""Typed experiment configuration.
+
+Replaces the reference's global ``tf.app.flags`` singleton
+(``/root/reference/main.py:33-80``, re-declared per tool at e.g.
+``/root/reference/iouenergythreshold.py:18-28``) with explicit dataclasses.
+Every flag in the reference has a counterpart here; the CLI maps the same
+flag names onto these fields so reference recipes translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection and input-pipeline options.
+
+    Mirrors the loader arguments of
+    ``/root/reference/dataloader/outdoor_data_mfcc.py:17-19`` and the
+    data flags of ``/root/reference/main.py:36-40,52-58,64``.
+    """
+
+    datatype: str = "outdoor"  # outdoor | old | music
+    train_file: str | None = None
+    valid_file: str | None = None
+    test_file: str | None = None
+    batch_size: int = 8
+    sample_length: int = 1  # seconds per clip window
+    total_length: int = 30
+    number_of_crops: int = 30
+    buffer_size: int = 100
+    block_size: int = 1
+    sample_rate: int = 12288
+    shuffle_train: bool = True
+    normalize_spectrogram: bool = False
+    correspondence: bool = False
+    correspondence_video: bool = False
+    random_pick: bool = False
+    build_spectrogram: bool = True
+    # modalities: 0 = acoustic images, 1 = audio samples, 2 = video
+    modalities: tuple[int, ...] = (0, 1, 2)
+    num_io_threads: int = 8
+    prefetch_batches: int = 2
+
+    @property
+    def nr_frames(self) -> int:
+        # reference: main.py:90  nr_frames = block_size * sample_length
+        return self.block_size * self.sample_length
+
+    @property
+    def num_classes(self) -> int:
+        return {"outdoor": 10, "old": 14, "music": 9}[self.datatype]
+
+    @property
+    def num_locations(self) -> int:
+        return {"outdoor": 61, "old": 3, "music": 11}[self.datatype]
+
+    @property
+    def num_channels(self) -> int:
+        return {"outdoor": 12, "old": 12, "music": 13}[self.datatype]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model selection.
+
+    Mirrors ``model``/``encoder_type``/``embedding``/``mfcc``/``mfccmap``/
+    ``num_skip_conn``/``ae`` etc. of ``/root/reference/main.py:34-80``.
+    """
+
+    model: str = "UNet"  # UNet | DualCamNet
+    encoder_type: str = "Video"  # Energy | Video | Ac | Audio
+    embedding: bool = False
+    mfcc: bool = False
+    mfccmap: bool = False
+    num_skip_conn: int = 1  # 0 | 1 | 2 skip connections in UNetAcRes
+    ae: bool = False  # deterministic autoencoder instead of VAE
+    proxy: bool = False  # NCA proxy loss
+    fusion: bool = False
+    moddrop: bool = False
+    l2: bool = False  # plain L2 latent alignment
+    project: bool = False  # latent-space associator projection
+    jointmvae: bool = False
+    onlyaudiovideo: bool = False
+    correspondence: bool = False
+    temporal_pooling: bool = False
+    num_class: int = 128  # embedding size flag of the reference
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimization options (reference ``main.py:46-51,61,78-80``)."""
+
+    learning_rate: float = 1e-4
+    num_epochs: int = 100
+    latent_loss: float = 1e-6  # KL weight of mfcctrainer.py:59
+    margin: float = 0.2
+    mse: bool = True
+    huber: bool = True
+    # resnet_v1 arg scope weight decay (vision.py:54); contributes to the
+    # total loss exactly like tf.losses.get_total_loss() did.
+    resnet_weight_decay: float = 5e-4
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Experiment bookkeeping (reference ``main.py:41-45,58-60``)."""
+
+    mode: str = "train"  # train | test
+    exp_name: str = "exp"
+    checkpoint_dir: str = "checkpoints"
+    tensorboard: str | None = None
+    init_checkpoint: str | None = None
+    acoustic_init_checkpoint: str | None = None
+    audio_init_checkpoint: str | None = None
+    visual_init_checkpoint: str | None = None
+    restore_checkpoint: str | None = None
+    display_freq: int = 1
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """TPU mesh layout. New in this framework (reference is single-GPU,
+    ``/root/reference/main.py:176,287``); the default is 1-axis data
+    parallelism over all local devices (e.g. a v5e-8 slice over ICI)."""
+
+    data_axis: str = "data"
+    num_devices: int | None = None  # None = all local devices
+    # compute dtype for conv/matmul inside models; params stay f32
+    compute_dtype: str = "float32"  # or "bfloat16"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        """Write ``configuration.txt``-equivalent metadata
+        (reference ``main.py:247-276``)."""
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "ExperimentConfig":
+        return ExperimentConfig(
+            data=DataConfig(**d.get("data", {})),
+            model=ModelConfig(**d.get("model", {})),
+            optim=OptimConfig(**d.get("optim", {})),
+            run=RunConfig(**d.get("run", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+        )
+
+    @staticmethod
+    def load(path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return ExperimentConfig.from_dict(json.load(f))

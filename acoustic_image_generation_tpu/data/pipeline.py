@@ -1,0 +1,190 @@
+"""Host input pipeline: list file -> decoded, batched NumPy arrays.
+
+TPU-first counterpart of the reference's ``tf.data`` graph
+(``/root/reference/dataloader/outdoor_data_mfcc.py:58-117``): the host does
+IO + byte decode on a thread pool and double-buffers batches ahead; all math
+(MFCC, filtering, normalization, augmentation) happens on device in
+``preprocess.preprocess_batch`` inside the jitted train step.
+
+API mirrors ``ActionsDataLoader`` (:17-44, :973-976): constructor args,
+``num_samples``, ``total_batches``; iteration yields ``RawBatch``es with
+static shapes (remainder batches are zero-padded and carry ``valid``).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from acoustic_image_generation_tpu.data import tfrecord
+from acoustic_image_generation_tpu.data.schema import DecodedRecord, decode_record
+from acoustic_image_generation_tpu.data.windowing import plan_windows
+
+
+@dataclass
+class RawBatch:
+    """Decoded but un-preprocessed batch. ``valid`` counts real rows; padded
+    rows (static-shape remainder handling) are zero-filled."""
+
+    acoustic: np.ndarray  # (N, F, 36, 48, C) float32
+    audio: np.ndarray  # (N, F, 1024) int32
+    video: np.ndarray  # (N, F, 224, 298, 3) uint8
+    action: np.ndarray  # (N,) int32
+    location: np.ndarray  # (N,) int32
+    valid: int
+
+    @property
+    def frames(self) -> int:
+        return self.acoustic.shape[1]
+
+
+class AcousticImageDataLoader:
+    """Windowed, batched loader over per-second TFRecord shards."""
+
+    def __init__(
+        self,
+        txt_file: str,
+        mode: str,
+        batch_size: int,
+        *,
+        sample_length: int = 1,
+        embedding: bool = True,
+        shuffle: bool | None = None,
+        datakind: str = "outdoor",
+        num_channels: int | None = None,
+        modalities: tuple[int, ...] = (0, 1, 2),
+        num_io_threads: int = 8,
+        prefetch_batches: int = 2,
+        drop_remainder: bool | None = None,
+        seed: int = 0,
+    ) -> None:
+        assert txt_file is not None
+        self.mode = mode
+        self.batch_size = batch_size
+        self.sample_length = sample_length
+        self.embedding = embedding
+        self.datakind = datakind
+        self.num_channels = num_channels or (13 if datakind == "music" else 12)
+        self.include_acoustic = 0 in modalities
+        self.include_audio = 1 in modalities
+        self.include_video = 2 in modalities
+        self.shuffle = (mode == "training") if shuffle is None else shuffle
+        self.drop_remainder = (mode == "training") if drop_remainder is None else drop_remainder
+        self.num_io_threads = num_io_threads
+        self.prefetch_batches = prefetch_batches
+        self.seed = seed
+
+        self.plan = plan_windows(txt_file, mode, sample_length)
+        self.num_samples = self.plan.num_samples
+        self.frames_per_window = 12 * sample_length
+
+    @property
+    def total_batches(self) -> int:
+        return self.plan.total_batches(self.batch_size)
+
+    @property
+    def num_windows(self) -> int:
+        return len(self.plan.windows)
+
+    # ------------------------------------------------------------- decoding
+
+    def _decode_window(self, files: list[str]) -> DecodedRecord:
+        records = []
+        for path in files:
+            for payload in tfrecord.read_records(path):
+                records.append(
+                    decode_record(
+                        payload,
+                        datakind=self.datakind,
+                        include_acoustic=self.include_acoustic,
+                        include_audio=self.include_audio,
+                        include_video=self.include_video,
+                        num_channels=self.num_channels,
+                    )
+                )
+        first = records[0]
+        cat = lambda key: np.concatenate([getattr(r, key) for r in records])
+        return DecodedRecord(
+            acoustic=cat("acoustic") if self.include_acoustic else None,
+            audio=cat("audio") if self.include_audio else None,
+            video=cat("video") if self.include_video else None,
+            action=first.action,
+            location=first.location,
+            extras=first.extras,
+        )
+
+    def _assemble(self, windows: list[DecodedRecord], valid: int) -> RawBatch:
+        f = self.frames_per_window
+        n = len(windows)
+        c = self.num_channels
+        acoustic = np.zeros((n, f, 36, 48, c), np.float32)
+        audio = np.zeros((n, f, 1024), np.int32)
+        video = np.zeros((n, f, 224, 298, 3), np.uint8)
+        action = np.zeros((n,), np.int32)
+        location = np.zeros((n,), np.int32)
+        for i, w in enumerate(windows[:valid]):
+            if w.acoustic is not None:
+                acoustic[i] = w.acoustic
+            if w.audio is not None:
+                audio[i] = w.audio
+            if w.video is not None:
+                video[i] = w.video
+            action[i] = w.action
+            location[i] = w.location
+        return RawBatch(acoustic, audio, video, action, location, valid)
+
+    # ------------------------------------------------------------- iteration
+
+    def batches(self, epoch: int = 0):
+        """Yield RawBatches for one epoch, decoding on a thread pool and
+        prefetching ``prefetch_batches`` ahead of the consumer."""
+        order = np.arange(self.num_windows)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+
+        bs = self.batch_size
+        n_full = self.num_windows // bs
+        idx_batches = [order[i * bs : (i + 1) * bs] for i in range(n_full)]
+        rem = self.num_windows - n_full * bs
+        if rem and not self.drop_remainder:
+            idx_batches.append(order[n_full * bs :])
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with cf.ThreadPoolExecutor(self.num_io_threads) as pool:
+                    for idxs in idx_batches:
+                        if stop.is_set():
+                            return
+                        decoded = list(
+                            pool.map(
+                                lambda i: self._decode_window(self.plan.windows[i]),
+                                idxs,
+                            )
+                        )
+                        valid = len(decoded)
+                        if valid < bs:
+                            decoded += [decoded[-1]] * (bs - valid)
+                        out_q.put(self._assemble(decoded, valid))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

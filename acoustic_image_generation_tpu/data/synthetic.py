@@ -1,0 +1,123 @@
+"""Synthetic dataset shard writer.
+
+No real data ships with the reference repo, so tests and benchmarks generate
+ACIVW-shaped shards: per-second GZIP TFRecord files of SequenceExamples with
+the exact feature schema of ``/root/reference/convert_data.py:247-279``,
+plus the list files that the loaders consume. Doubles as a fixture factory
+and as a structural check that our writer round-trips with our reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from acoustic_image_generation_tpu.data import proto, tfrecord
+from acoustic_image_generation_tpu.data.schema import (
+    ACOUSTIC_H,
+    ACOUSTIC_W,
+    FRAMES_PER_SECOND,
+    NUM_SAMPLES,
+    VIDEO_H,
+    VIDEO_W,
+)
+
+
+def make_sequence_example(
+    *,
+    acoustic: np.ndarray,  # (12, 36, 48, C) float32
+    audio: np.ndarray,  # (12, 1024) int32
+    video: np.ndarray,  # (12, 224, 298, 3) uint8
+    action: int,
+    location: int,
+) -> proto.SequenceExample:
+    ex = proto.SequenceExample()
+    ex.context["classes"] = proto.int64_feature(action)
+    ex.context["location"] = proto.int64_feature(location)
+    ex.context["audio_image/height"] = proto.int64_feature(acoustic.shape[1])
+    ex.context["audio_image/width"] = proto.int64_feature(acoustic.shape[2])
+    ex.context["audio_image/depth"] = proto.int64_feature(acoustic.shape[3])
+    ex.context["audio_data/mics"] = proto.int64_feature(1)
+    ex.context["audio_data/samples"] = proto.int64_feature(audio.shape[1])
+    ex.context["video/height"] = proto.int64_feature(video.shape[1])
+    ex.context["video/width"] = proto.int64_feature(video.shape[2])
+    ex.context["video/depth"] = proto.int64_feature(video.shape[3])
+    ex.feature_lists["audio/image"] = [
+        proto.bytes_feature(np.ascontiguousarray(f, dtype=np.float32).tobytes())
+        for f in acoustic
+    ]
+    ex.feature_lists["audio/data"] = [
+        proto.bytes_feature(np.ascontiguousarray(f, dtype=np.int32).tobytes())
+        for f in audio
+    ]
+    ex.feature_lists["video/image"] = [
+        proto.bytes_feature(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        for f in video
+    ]
+    return ex
+
+
+def write_synthetic_dataset(
+    out_dir: str,
+    *,
+    num_classes: int = 2,
+    videos_per_class: int = 1,
+    seconds_per_video: int = 4,
+    num_channels: int = 12,
+    seed: int = 0,
+    video_hw: tuple[int, int] = (VIDEO_H, VIDEO_W),
+) -> dict[str, str]:
+    """Write a tiny ACIVW-shaped dataset. Returns {split: list_file_path}.
+
+    Directory layout mirrors the converter:
+    ``{out}/class_{c}/data_{v:03d}/Data_{s:03d}.tfrecord``.
+    """
+    rng = np.random.default_rng(seed)
+    all_files: list[str] = []
+    for c in range(num_classes):
+        for v in range(videos_per_class):
+            # Globally unique data_NNN dirs: the loaders group consecutive
+            # list lines by path[-2] (outdoor_data_mfcc.py:172-174), so
+            # repeating dir names across classes would merge videos.
+            loc = c * videos_per_class + v + 1
+            data_dir = os.path.join(out_dir, f"class_{c}", f"data_{loc:03d}")
+            os.makedirs(data_dir, exist_ok=True)
+            # a class-dependent tone so models can actually learn
+            t = np.arange(seconds_per_video * FRAMES_PER_SECOND * NUM_SAMPLES)
+            freq = 200.0 * (c + 1)
+            wave = (
+                3000 * np.sin(2 * np.pi * freq * t / 12288.0)
+                + rng.normal(0, 100, t.shape)
+            ).astype(np.int32)
+            for s in range(seconds_per_video):
+                acoustic = rng.random(
+                    (FRAMES_PER_SECOND, ACOUSTIC_H, ACOUSTIC_W, num_channels)
+                ).astype(np.float32) * (c + 1)
+                sl = slice(
+                    s * FRAMES_PER_SECOND * NUM_SAMPLES,
+                    (s + 1) * FRAMES_PER_SECOND * NUM_SAMPLES,
+                )
+                audio = wave[sl].reshape(FRAMES_PER_SECOND, NUM_SAMPLES)
+                video = rng.integers(
+                    0, 256, (FRAMES_PER_SECOND, *video_hw, 3), dtype=np.uint8
+                )
+                ex = make_sequence_example(
+                    acoustic=acoustic,
+                    audio=audio,
+                    video=video,
+                    action=c,
+                    location=loc,
+                )
+                path = os.path.join(data_dir, f"Data_{s + 1:03d}.tfrecord")
+                tfrecord.write_records(path, [ex.encode()])
+                all_files.append(path)
+
+    lists = {}
+    for split in ("training", "validation", "testing"):
+        list_path = os.path.join(out_dir, f"lists/{split}.txt")
+        os.makedirs(os.path.dirname(list_path), exist_ok=True)
+        with open(list_path, "w") as f:
+            f.write("\n".join(all_files) + "\n")
+        lists[split] = list_path
+    return lists

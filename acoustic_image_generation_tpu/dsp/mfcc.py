@@ -1,0 +1,71 @@
+"""Batched 12-coefficient MFCC frontend as pure JAX.
+
+Functional equivalent of ``_build_spectrograms_function``
+(``/root/reference/dataloader/outdoor_data_mfcc.py:796-876``), which the
+reference runs on the host through ``tf.py_func``. Here the whole chain runs
+on device in one fused XLA program (the Pallas variant lives in
+``ops/pallas_mfcc.py``):
+
+    frame (.., 1024) -> Tukey(0.75) window -> |rfft(1024)|^2 drop Nyquist
+    -> (512,) power -> mel filterbank (512,24) -> floor 1e-3 -> log
+    -> DCT-II (24,12) * sqrt(2/24) -> sinusoidal lifter(22) -> (12,)
+
+All matmuls are MXU work; the chain vectorizes over arbitrary leading axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from acoustic_image_generation_tpu.dsp import mel as mel_mod
+
+
+def mfcc_from_frames(frames: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """Compute 12 MFCCs for each 1024-sample frame.
+
+    Args:
+      frames: (..., 1024) float or int audio samples.
+
+    Returns:
+      (..., 12) float32 MFCC coefficients, bit-matching the reference's
+      NumPy pipeline to float32 tolerance.
+    """
+    c = mel_mod.constants()
+    x = frames.astype(dtype) * jnp.asarray(c.window, dtype)
+    # Power spectrum: |rfft|^2, dropping the Nyquist bin (ref line 803).
+    spec = jnp.fft.rfft(x, n=mel_mod.N_SAMPLES, axis=-1)[..., :-1]
+    power = jnp.square(jnp.abs(spec)).astype(dtype)
+    return mfcc_from_power(power, dtype=dtype)
+
+
+def mfcc_from_power(power: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """Mel/log/DCT/lifter tail of the frontend on a (..., 512) power spectrum."""
+    c = mel_mod.constants()
+    melspec = power @ jnp.asarray(c.filter_mat, dtype)
+    melspec = jnp.maximum(melspec, mel_mod.MELSPEC_FLOOR)
+    logmel = jnp.log(melspec)
+    coeffs = logmel @ jnp.asarray(c.dct_lifter, dtype)
+    # Reference zeroes NaN/Inf (outdoor_data_mfcc.py:871-872).
+    coeffs = jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)
+    return coeffs
+
+
+def mfcc_numpy_oracle(frames: np.ndarray) -> np.ndarray:
+    """Host NumPy reference of the same chain, mirroring the reference's
+    ``_build_spectrograms_function`` step by step (used by golden tests and
+    as a no-JAX fallback in the data pipeline)."""
+    c = mel_mod.constants()
+    n = frames.shape[0]
+    raw = frames.astype(np.float64) * c.window[None, :]
+    fftdata = np.abs(np.fft.rfft(raw, mel_mod.N_SAMPLES, axis=1))[:, :-1]
+    power = fftdata**2
+    melspec = power @ c.filter_mat
+    melspec[melspec < mel_mod.MELSPEC_FLOOR] = mel_mod.MELSPEC_FLOOR
+    melspec = np.log(melspec)
+    coeffs = melspec @ c.dct_base
+    coeffs *= c.mfnorm
+    coeffs *= c.lifter
+    coeffs[np.isnan(coeffs)] = 0
+    coeffs[np.isinf(coeffs)] = 0
+    return np.float32(coeffs.reshape(n, mel_mod.MFCC_NUM))

@@ -1,0 +1,195 @@
+"""Tests for the TF-free TFRecord/SequenceExample ingest and host pipeline."""
+
+import io
+import numpy as np
+import pytest
+
+from acoustic_image_generation_tpu.data import (
+    AcousticImageDataLoader,
+    decode_record,
+    plan_windows,
+)
+from acoustic_image_generation_tpu.data import proto, synthetic, tfrecord
+
+
+class TestCrc32c:
+    def test_known_vectors(self):
+        # RFC 3720 test vectors
+        assert tfrecord.crc32c(b"123456789") == 0xE3069283
+        assert tfrecord.crc32c(b"") == 0x0
+        assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    def test_record_roundtrip(self):
+        buf = io.BytesIO()
+        payloads = [b"hello", b"", b"x" * 1000]
+        for p in payloads:
+            tfrecord.write_record(buf, p)
+        buf.seek(0)
+        assert list(tfrecord.iter_records(buf, verify_crc=True)) == payloads
+
+
+class TestProto:
+    def test_feature_roundtrip(self):
+        for feat in [
+            proto.Feature(bytes_list=[b"abc", b""]),
+            proto.Feature(float_list=[1.5, -2.25, 0.0]),
+            proto.Feature(int64_list=[0, 1, -1, 2**40, -(2**40)]),
+        ]:
+            decoded = proto.Feature.decode(feat.encode())
+            assert decoded.bytes_list == feat.bytes_list
+            assert decoded.int64_list == feat.int64_list
+            if feat.float_list is not None:
+                np.testing.assert_allclose(decoded.float_list, feat.float_list)
+
+    def test_sequence_example_roundtrip(self):
+        ex = proto.SequenceExample()
+        ex.context["classes"] = proto.int64_feature(3)
+        ex.context["location"] = proto.int64_feature(7)
+        ex.feature_lists["audio/data"] = [
+            proto.bytes_feature(b"\x01\x02"),
+            proto.bytes_feature(b"\x03\x04"),
+        ]
+        got = proto.SequenceExample.decode(ex.encode())
+        assert got.context["classes"].int64_list == [3]
+        assert got.context["location"].int64_list == [7]
+        assert [f.bytes_list[0] for f in got.feature_lists["audio/data"]] == [
+            b"\x01\x02",
+            b"\x03\x04",
+        ]
+
+    @pytest.mark.skipif(
+        not pytest.importorskip("google.protobuf", reason="protobuf missing"),
+        reason="protobuf missing",
+    )
+    def test_against_protobuf_runtime(self):
+        """Cross-check wire bytes against the official protobuf runtime using
+        a dynamically built SequenceExample descriptor."""
+        from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+        pool = descriptor_pool.DescriptorPool()
+        fdp = descriptor_pb2.FileDescriptorProto()
+        fdp.name = "tfexample_test.proto"
+        fdp.package = "tpb"
+
+        def msg(name):
+            m = fdp.message_type.add()
+            m.name = name
+            return m
+
+        bl = msg("BytesList")
+        f = bl.field.add(); f.name = "value"; f.number = 1; f.label = 3; f.type = 12
+        il = msg("Int64List")
+        f = il.field.add(); f.name = "value"; f.number = 1; f.label = 3; f.type = 3
+        f.options.packed = True
+        feat = msg("Feature")
+        f = feat.field.add(); f.name = "bytes_list"; f.number = 1; f.label = 1; f.type = 11
+        f.type_name = ".tpb.BytesList"
+        f = feat.field.add(); f.name = "int64_list"; f.number = 3; f.label = 1; f.type = 11
+        f.type_name = ".tpb.Int64List"
+        feats = msg("Features")
+        entry = feats.nested_type.add(); entry.name = "FeatureEntry"
+        entry.options.map_entry = True
+        f = entry.field.add(); f.name = "key"; f.number = 1; f.label = 1; f.type = 9
+        f = entry.field.add(); f.name = "value"; f.number = 2; f.label = 1; f.type = 11
+        f.type_name = ".tpb.Feature"
+        f = feats.field.add(); f.name = "feature"; f.number = 1; f.label = 3; f.type = 11
+        f.type_name = ".tpb.Features.FeatureEntry"
+        fl = msg("FeatureList")
+        f = fl.field.add(); f.name = "feature"; f.number = 1; f.label = 3; f.type = 11
+        f.type_name = ".tpb.Feature"
+        fls = msg("FeatureLists")
+        entry = fls.nested_type.add(); entry.name = "FeatureListEntry"
+        entry.options.map_entry = True
+        f = entry.field.add(); f.name = "key"; f.number = 1; f.label = 1; f.type = 9
+        f = entry.field.add(); f.name = "value"; f.number = 2; f.label = 1; f.type = 11
+        f.type_name = ".tpb.FeatureList"
+        f = fls.field.add(); f.name = "feature_list"; f.number = 1; f.label = 3; f.type = 11
+        f.type_name = ".tpb.FeatureLists.FeatureListEntry"
+        se = msg("SequenceExample")
+        f = se.field.add(); f.name = "context"; f.number = 1; f.label = 1; f.type = 11
+        f.type_name = ".tpb.Features"
+        f = se.field.add(); f.name = "feature_lists"; f.number = 2; f.label = 1; f.type = 11
+        f.type_name = ".tpb.FeatureLists"
+
+        pool.Add(fdp)
+        cls = message_factory.GetMessageClass(pool.FindMessageTypeByName("tpb.SequenceExample"))
+
+        ours = proto.SequenceExample()
+        ours.context["classes"] = proto.int64_feature(5)
+        ours.feature_lists["audio/data"] = [proto.bytes_feature(b"\xde\xad")]
+
+        theirs = cls()
+        theirs.ParseFromString(ours.encode())
+        assert theirs.context.feature["classes"].int64_list.value == [5]
+        assert theirs.feature_lists.feature_list["audio/data"].feature[0].bytes_list.value == [b"\xde\xad"]
+
+        # and decode their encoding
+        back = proto.SequenceExample.decode(theirs.SerializeToString())
+        assert back.context["classes"].int64_list == [5]
+
+
+class TestSyntheticAndLoader:
+    @pytest.fixture(scope="class")
+    def dataset(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("acivw")
+        lists = synthetic.write_synthetic_dataset(
+            str(out), num_classes=2, videos_per_class=1, seconds_per_video=4
+        )
+        return lists
+
+    def test_record_decodes(self, dataset):
+        with open(dataset["training"]) as f:
+            path = f.readline().strip()
+        payloads = tfrecord.read_records(path, verify_crc=True)
+        assert len(payloads) == 1
+        rec = decode_record(payloads[0])
+        assert rec.acoustic.shape == (12, 36, 48, 12)
+        assert rec.audio.shape == (12, 1024)
+        assert rec.video.shape == (12, 224, 298, 3)
+
+    def test_acoustic_flip_applied(self, dataset):
+        with open(dataset["training"]) as f:
+            path = f.readline().strip()
+        payload = tfrecord.read_records(path)[0]
+        flipped = decode_record(payload)
+        raw = decode_record(payload, flip_acoustic=False)
+        np.testing.assert_array_equal(flipped.acoustic, raw.acoustic[:, ::-1, ::-1, :])
+
+    def test_windowing_counts(self, dataset):
+        # 2 videos x 4 seconds, sample_length=2:
+        # training sliding -> 3 windows per video; inference strided -> 2
+        plan_tr = plan_windows(dataset["training"], "training", 2)
+        plan_te = plan_windows(dataset["testing"], "testing", 2)
+        assert len(plan_tr.windows) == 6
+        assert len(plan_te.windows) == 4
+        assert plan_tr.num_samples == 4  # floor(4/2) per video
+
+    def test_loader_batches(self, dataset):
+        loader = AcousticImageDataLoader(
+            dataset["training"], "training", batch_size=2, sample_length=1, seed=0
+        )
+        batches = list(loader.batches(epoch=0))
+        assert len(batches) == 4  # 8 windows / bs 2
+        b = batches[0]
+        assert b.acoustic.shape == (2, 12, 36, 48, 12)
+        assert b.audio.shape == (2, 12, 1024)
+        assert b.video.shape == (2, 12, 224, 298, 3)
+        assert b.valid == 2
+
+    def test_loader_shuffles_per_epoch(self, dataset):
+        loader = AcousticImageDataLoader(
+            dataset["training"], "training", batch_size=8, sample_length=1, seed=0
+        )
+        b0 = next(iter(loader.batches(epoch=0)))
+        b1 = next(iter(loader.batches(epoch=1)))
+        assert not np.array_equal(b0.action, b1.action) or not np.array_equal(
+            b0.location, b1.location
+        )
+
+    def test_eval_remainder_padded(self, dataset):
+        loader = AcousticImageDataLoader(
+            dataset["testing"], "testing", batch_size=3, sample_length=1
+        )
+        batches = list(loader.batches())
+        assert sum(b.valid for b in batches) == 8
+        assert all(b.acoustic.shape[0] == 3 for b in batches)
