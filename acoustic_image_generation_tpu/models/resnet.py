@@ -1,0 +1,164 @@
+"""ResNet-50 v1 visual trunk, modified as in the reference.
+
+Port of the *behavior* of ``/root/reference/models/resnet50.py`` (a forked
+tf-slim resnet_v1) + ``models/vision.py``:
+
+- block1 stride 1 and block4 stride 1 (overall stride 16 instead of 32,
+  ``resnet50.py:261-266``);
+- an extra ``conv_map`` head: 12-channel (3,4) VALID conv over the 14x19
+  block4 output, yielding a 12x16x12 feature map aligned to the acoustic
+  image bottleneck lattice (``resnet50.py:208-209``);
+- slim ``resnet_arg_scope`` semantics: every conv is followed by
+  BN(decay .997, eps 1e-5, scale) and ReLU unless disabled, no conv biases,
+  He (variance-scaling 2.0 fan-in truncated-normal) init, weight decay 5e-4
+  accounted for in ``losses.regularization`` (``vision.py:54``);
+- stride-2 convs use slim's fixed-pad ``conv2d_same`` so shapes are
+  input-size independent (``ops.tf_compat.conv2d_same_fixed_pad``).
+
+Input 224x298x3 -> conv_map 12x16x12. Param tree mirrors TF scopes
+(``block2/unit_4/shortcut`` etc.) so the TF1 checkpoint importer can map
+ImageNet weights 1:1.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import variance_scaling
+
+from acoustic_image_generation_tpu.ops.tf_compat import conv2d_same_fixed_pad
+
+he_trunc = variance_scaling(2.0, "fan_in", "truncated_normal")
+
+# (base_depth, num_units, stride) per block — resnet50.py:261-266, with the
+# reference's modified strides.
+RESNET50_BLOCKS = ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 1))
+
+
+class _ConvBN(nn.Module):
+    """slim ``layers.conv2d`` under resnet_arg_scope: conv (no bias) -> BN
+    [-> ReLU]. ``fixed_pad`` selects conv2d_same semantics for stride > 1."""
+
+    features: int
+    kernel: tuple[int, int] = (1, 1)
+    stride: int = 1
+    relu: bool = True
+    fixed_pad: bool = False
+    padding: str = "SAME"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        dt = self.dtype or x.dtype
+        if self.fixed_pad:
+            kernel = self.param(
+                "kernel", he_trunc, (*self.kernel, x.shape[-1], self.features), jnp.float32
+            )
+            y = conv2d_same_fixed_pad(x.astype(dt), kernel.astype(dt), self.stride)
+        else:
+            y = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=(self.stride, self.stride),
+                padding=self.padding,
+                use_bias=False,
+                kernel_init=he_trunc,
+                dtype=dt,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.997,
+            epsilon=1e-5,
+            use_scale=True,
+            dtype=dt,
+            param_dtype=jnp.float32,
+            name="BatchNorm",
+        )(y)
+        return nn.relu(y) if self.relu else y
+
+
+class BottleneckV1(nn.Module):
+    """resnet_v1 bottleneck unit (``resnet50.py:75-125``)."""
+
+    depth: int
+    depth_bottleneck: int
+    stride: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        depth_in = x.shape[-1]
+        if self.depth == depth_in:
+            # subsample: 1x1 max-pool with stride (resnet_utils.subsample)
+            shortcut = (
+                x
+                if self.stride == 1
+                else nn.max_pool(x, (1, 1), strides=(self.stride, self.stride), padding="VALID")
+            )
+        else:
+            shortcut = _ConvBN(
+                self.depth, (1, 1), self.stride, relu=False, name="shortcut", dtype=self.dtype
+            )(x, train=train)
+        residual = _ConvBN(self.depth_bottleneck, (1, 1), 1, name="conv1", dtype=self.dtype)(
+            x, train=train
+        )
+        residual = _ConvBN(
+            self.depth_bottleneck,
+            (3, 3),
+            self.stride,
+            fixed_pad=self.stride > 1,
+            name="conv2",
+            dtype=self.dtype,
+        )(residual, train=train)
+        residual = _ConvBN(self.depth, (1, 1), 1, relu=False, name="conv3", dtype=self.dtype)(
+            residual, train=train
+        )
+        return nn.relu(shortcut + residual)
+
+
+class ResNet50(nn.Module):
+    """Stride-16 ResNet-50 v1 with 12-channel ``conv_map`` head.
+
+    ``__call__`` returns the conv_map feature (the generator conditioning
+    signal) or, with ``num_classes`` set, classification logits like the
+    reference's unused logits head (``vision.py:55``).
+    """
+
+    num_classes: int | None = None
+    global_pool: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        net = _ConvBN(64, (7, 7), 2, fixed_pad=True, name="conv1", dtype=self.dtype)(
+            x, train=train
+        )
+        net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        for b, (base_depth, num_units, block_stride) in enumerate(RESNET50_BLOCKS, start=1):
+            for u in range(1, num_units + 1):
+                stride = block_stride if u == num_units else 1
+                net = BottleneckV1(
+                    depth=base_depth * 4,
+                    depth_bottleneck=base_depth,
+                    stride=stride,
+                    name=f"block{b}_unit_{u}",
+                    dtype=self.dtype,
+                )(net, train=train)
+        net = _ConvBN(12, (3, 4), 1, padding="VALID", name="conv_map", dtype=self.dtype)(
+            net, train=train
+        )
+        if self.global_pool:
+            net = jnp.mean(net, axis=(1, 2), keepdims=True)
+        if self.num_classes is not None:
+            net = nn.Conv(
+                self.num_classes,
+                (1, 1),
+                use_bias=True,
+                kernel_init=he_trunc,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="logits",
+            )(net)
+        return net

@@ -1,0 +1,108 @@
+"""Video-frame UNet VAE and the energy-map UNet.
+
+- ``UNetVideo``: 224x298x3 frame -> 3-ch sigmoid reconstruction with a
+  1024-d VAE bottleneck and no skip concats
+  (``/root/reference/models/unet_architecture_noconc.py:45-92``; the
+  two-stage split of ``unet_architecture_noconc2.py`` is ``encode`` /
+  ``decode``). Weight decay 7e-5.
+- ``UNetEnergy``: 36x48x1 log-energy map autoencoder whose "latent" is the
+  raw flattened 4x4x8 bottleneck used as both mean and variance
+  (``/root/reference/models/unet_architecture_energy.py:48-95``); final
+  activation is ReLU, not sigmoid. Weight decay 1e-6.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acoustic_image_generation_tpu.models import layers
+from acoustic_image_generation_tpu.models.blocks import ConvConvPool, VaeHead
+from acoustic_image_generation_tpu.models.unet_ac import VaeOutput
+
+
+class UNetVideo(nn.Module):
+    """Scope ``UNet`` — video VAE, latent 1024."""
+
+    latent_dim: int = 1024
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
+        dt = self.dtype
+
+        def ccp(filters, name, pool=False, **kw):
+            return ConvConvPool(filters, pool=pool, batch_norm=True, name=name, dtype=dt, **kw)
+
+        # 224x298 -> 74x99 -> 36x49 -> 12x16
+        _, pool1 = ccp(
+            (32, 32), "layer1", pool=True, pool_strides=(3, 3), pool_padding="VALID"
+        )(x, train=train)
+        _, pool2 = ccp((128, 128), "layer2", pool=True, pool_padding="VALID")(pool1, train=train)
+        _, pool3 = ccp(
+            (256, 256), "layer3", pool=True, pool_strides=(3, 3),
+            pool_padding="VALID", pool_kernel=(2, 3),
+        )(pool2, train=train)
+        conv5 = ccp((512, 512), "layer5")(pool3, train=train)
+
+        z, mean, std = VaeHead(self.latent_dim, spatial=(12, 16), dtype=dt)(conv5, sample=sample)
+
+        net = nn.relu(layers.dense(12 * 16 * 50, name="dense", dtype=dt)(z))
+        net = net.reshape(-1, 12, 16, 50)
+        net = nn.relu(layers.conv2d(512, (3, 3), name="conv_dec", dtype=dt)(net))
+        # 12x16 -> 36x49 -> 74x99 -> 224x298 via TF-rule deconvs
+        up = layers.ConvTransposeTF(256, (3, 4), (3, 3), name="upsample_6", dtype=dt)(net)
+        up = ccp((256, 256), "layer6")(up, train=train)
+        up = ccp((256, 256), "layer7")(up, train=train)
+        up = layers.ConvTransposeTF(128, (4, 3), (2, 2), name="upsample_8", dtype=dt)(up)
+        up = ccp((128, 128), "layer8")(up, train=train)
+        up = ccp((128, 128), "layer9")(up, train=train)
+        up = layers.ConvTransposeTF(32, (5, 4), (3, 3), name="upsample_10", dtype=dt)(up)
+        up = ccp((32, 32), "layer10")(up, train=train)
+        up = ccp((32, 32), "layer11")(up, train=train)
+        out = nn.sigmoid(layers.conv2d(3, (1, 1), name="final", dtype=dt)(up))
+        return VaeOutput(out, z, mean, std, conv5)
+
+
+class UNetEnergy(nn.Module):
+    """Scope ``UNetEnergy`` — 36x48x1 energy-map UNet with skip concats."""
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
+        dt = self.dtype
+
+        def ccp(filters, name, pool=False, **kw):
+            return ConvConvPool(filters, pool=pool, batch_norm=True, name=name, dtype=dt, **kw)
+
+        conv1, pool1 = ccp((16, 16), "layer1", pool=True)(x, train=train)  # 18x24
+        conv2, pool2 = ccp((16, 16), "layer2", pool=True)(pool1, train=train)  # 9x12
+        conv3, pool3 = ccp(
+            (8, 8), "layer3", pool=True, pool_padding="VALID", pool_kernel=(3, 5)
+        )(pool2, train=train)  # 4x4
+        conv4 = ccp((8, 8), "layer4")(pool3, train=train)
+
+        # mean == variance == flattened bottleneck (unet_architecture_energy.py:66-70)
+        flat = conv4.reshape(-1, 128)
+        mean = flat
+        variance = flat
+        if sample and self.has_rng("latent"):
+            eps = jax.random.normal(self.make_rng("latent"), variance.shape, variance.dtype)
+            z = mean + variance * eps
+        else:
+            z = mean
+        net = z.reshape(-1, 4, 4, 8)
+
+        up = layers.ConvTransposeTF(8, (3, 6), (2, 2), name="upsample_6", dtype=dt)(net)  # 9x12
+        up = ccp((8, 8), "layer6")(jnp.concatenate([up, conv3], -1), train=train)
+        up = ccp((8, 8), "layer6_2")(up, train=train)
+        up = layers.ConvTransposeTF(16, (2, 2), (2, 2), name="upsample_7", dtype=dt)(up)  # 18x24
+        up = ccp((16, 16), "layer7")(jnp.concatenate([up, conv2], -1), train=train)
+        up = ccp((16, 16), "layer7_2")(up, train=train)
+        up = layers.ConvTransposeTF(16, (2, 2), (2, 2), name="upsample_8", dtype=dt)(up)  # 36x48
+        up = ccp((16, 16), "layer8")(jnp.concatenate([up, conv1], -1), train=train)
+        up = ccp((8, 8), "layer8_2")(up, train=train)
+        out = nn.relu(layers.conv2d(1, (3, 3), name="final", dtype=dt)(up))
+        return VaeOutput(out, z, mean, variance, conv4)
