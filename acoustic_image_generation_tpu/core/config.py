@@ -89,6 +89,10 @@ class ModelConfig:
     correspondence: bool = False
     temporal_pooling: bool = False
     num_class: int = 128  # embedding size flag of the reference
+    # ResNet50 units per block (reference: 3/4/6/3, resnet50.py:261-266).
+    # Reduced values give a structurally identical trunk (same strides,
+    # conv_map, shardings) for CPU-mesh dry runs and tests.
+    resnet_units: tuple[int, int, int, int] = (3, 4, 6, 3)
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,7 @@ class AcousticImageDataLoader:
         prefetch_batches: int = 2,
         drop_remainder: bool | None = None,
         seed: int = 0,
+        use_native: bool | None = None,
     ) -> None:
         assert txt_file is not None
         self.mode = mode
@@ -78,6 +79,12 @@ class AcousticImageDataLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
 
+        if use_native is None:
+            from acoustic_image_generation_tpu.data import native
+
+            use_native = native.available()
+        self._use_native = use_native
+
         self.plan = plan_windows(txt_file, mode, sample_length)
         self.num_samples = self.plan.num_samples
         self.frames_per_window = 12 * sample_length
@@ -93,6 +100,43 @@ class AcousticImageDataLoader:
     # ------------------------------------------------------------- decoding
 
     def _decode_window(self, files: list[str]) -> DecodedRecord:
+        if self._use_native:
+            try:
+                return self._decode_window_native(files)
+            except IOError:
+                pass  # fall through to the pure-Python reference decoder
+        return self._decode_window_python(files)
+
+    def _decode_window_native(self, files: list[str]) -> DecodedRecord:
+        """C++ fast path: decode straight into the window slab
+        (data/native.py -> cpp/ingest.cc)."""
+        from acoustic_image_generation_tpu.data import native
+
+        fps = 12
+        f = fps * len(files)
+        c = self.num_channels
+        acoustic = np.empty((f, 36, 48, c), np.float32) if self.include_acoustic else None
+        audio = np.empty((f, 1024), np.int32) if self.include_audio else None
+        video = np.empty((f, 224, 298, 3), np.uint8) if self.include_video else None
+        action = location = 0
+        for i, path in enumerate(files):
+            sl = slice(i * fps, (i + 1) * fps)
+            action, location, _ = native.decode_file_into(
+                path,
+                acoustic[sl] if acoustic is not None else None,
+                audio[sl] if audio is not None else None,
+                video[sl] if video is not None else None,
+            )
+        if acoustic is not None and self.datakind != "music":
+            # parse-time l/r + u/d flips (outdoor_data_mfcc.py:314-315),
+            # matching schema.decode_record's default
+            acoustic = np.ascontiguousarray(acoustic[:, ::-1, ::-1, :])
+        return DecodedRecord(
+            acoustic=acoustic, audio=audio, video=video,
+            action=action, location=location, extras={},
+        )
+
+    def _decode_window_python(self, files: list[str]) -> DecodedRecord:
         records = []
         for path in files:
             for payload in tfrecord.read_records(path):

@@ -29,6 +29,7 @@ class Batch(NamedTuple):
     """Model-ready batch of frames (leading axis = B*frames when flattened)."""
 
     acoustic: jnp.ndarray  # (N, 36, 48, C) in [0,1]
+    audio: jnp.ndarray  # (N, 1024) raw float waveform (spectrogram source)
     mfcc: jnp.ndarray  # (N, 12) in [0,1]
     video: jnp.ndarray  # (N, 224, 298, 3) in [0,1]
     action: jnp.ndarray  # (N,) int32
@@ -83,6 +84,7 @@ def preprocess_batch(
 
     return Batch(
         acoustic=normalize_acoustic(acoustic_raw),
+        audio=wav,
         mfcc=normalize_mfcc(coeffs),
         video=normalize_video(video_raw),
         action=action.astype(jnp.int32),
@@ -106,6 +108,7 @@ def correspondence_augment(batch: Batch) -> Batch:
     onehot = jnp.eye(2, dtype=jnp.float32)[labels]
     return Batch(
         acoustic=jnp.concatenate([batch.acoustic, fake_acoustic]),
+        audio=jnp.concatenate([batch.audio, batch.audio]),
         mfcc=jnp.concatenate([batch.mfcc, batch.filtered_mfcc]),
         video=jnp.concatenate([batch.video, batch.video]),
         action=jnp.concatenate([batch.action, batch.action]),
@@ -123,6 +126,7 @@ def correspondence_augment_no_video(batch: Batch) -> Batch:
     onehot = jnp.eye(2, dtype=jnp.float32)[labels]
     return Batch(
         acoustic=jnp.concatenate([batch.acoustic, batch.acoustic]),
+        audio=jnp.concatenate([batch.audio, batch.audio]),
         mfcc=jnp.concatenate([batch.mfcc, batch.mfcc]),
         video=jnp.concatenate([batch.video, jnp.zeros_like(batch.video)]),
         action=jnp.concatenate([batch.action, batch.action]),

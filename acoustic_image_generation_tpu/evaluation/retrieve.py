@@ -1,0 +1,42 @@
+"""Cross-modal retrieval: rank-1/2/5/10/30 + per-class rank-1 confusion
+(``/root/reference/retrieve.py:53-120``): for each anchor embedding, sort
+the other modality's gallery by euclidean distance and check whether a
+same-class item appears in the top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+
+RANKS = (1, 2, 5, 10, 30)
+
+
+def retrieval_ranks(
+    anchors: np.ndarray,
+    anchor_labels: np.ndarray,
+    gallery: np.ndarray,
+    gallery_labels: np.ndarray,
+    num_classes: int,
+) -> dict:
+    anchors = np.reshape(np.asarray(anchors), (len(anchors), -1)).astype(np.float32)
+    gallery = np.reshape(np.asarray(gallery), (len(gallery), -1)).astype(np.float32)
+    anchor_labels = np.asarray(anchor_labels)
+    gallery_labels = np.asarray(gallery_labels)
+
+    d = (
+        np.sum(anchors**2, 1)[:, None]
+        - 2.0 * anchors @ gallery.T
+        + np.sum(gallery**2, 1)[None, :]
+    )
+    order = np.argsort(d, axis=1, kind="stable")
+    hits = {k: 0 for k in RANKS}
+    confusion1 = np.zeros((num_classes, num_classes), dtype=float)
+    for a in range(len(anchors)):
+        ranked = gallery_labels[order[a]]
+        confusion1[anchor_labels[a], ranked[0]] += 1
+        for k in RANKS:
+            if anchor_labels[a] in ranked[:k]:
+                hits[k] += 1
+    n = max(len(anchors), 1)
+    out = {f"rank{k}": hits[k] / n for k in RANKS}
+    out["confusion_rank1"] = confusion1
+    return out

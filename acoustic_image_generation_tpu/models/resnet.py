@@ -128,6 +128,10 @@ class ResNet50(nn.Module):
 
     num_classes: int | None = None
     global_pool: bool = False
+    # Override for reduced-depth variants (e.g. 1 unit/block in CPU-mesh
+    # dry runs — identical strides, conv_map geometry, and sharding
+    # structure, far cheaper to compile on hostless test machines).
+    blocks: tuple[tuple[int, int, int], ...] = RESNET50_BLOCKS
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -136,7 +140,7 @@ class ResNet50(nn.Module):
             x, train=train
         )
         net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
-        for b, (base_depth, num_units, block_stride) in enumerate(RESNET50_BLOCKS, start=1):
+        for b, (base_depth, num_units, block_stride) in enumerate(self.blocks, start=1):
             for u in range(1, num_units + 1):
                 stride = block_stride if u == num_units else 1
                 net = BottleneckV1(

@@ -25,11 +25,11 @@ class UNetSound(nn.Module):
     """Scope ``UNetAudio``."""
 
     variant: str = "large"  # 'large' (unet_sound2) | 'small' (unet_sound)
+    # 256 is the reference's large-variant latent (unet_sound2.py:66);
+    # overridable so the embed recipes can share one latent dim across
+    # modalities (see train/embed.py).
+    latent_dim: int = 256
     dtype: jnp.dtype | None = None
-
-    @property
-    def latent_dim(self) -> int:
-        return 256 if self.variant == "large" else 128
 
     @nn.compact
     def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
@@ -49,7 +49,7 @@ class UNetSound(nn.Module):
         _, pool4 = ccp((128, 128), "layer4", pool=True)(pool3, train=train)
         conv5 = ccp((128, 128), "layer5")(pool4, train=train)
 
-        z, mean, std = VaeHead(256, spatial=(12, 16), dtype=dt)(conv5, sample=sample)
+        z, mean, std = VaeHead(self.latent_dim, spatial=(12, 16), dtype=dt)(conv5, sample=sample)
 
         net = nn.relu(layers.dense(12 * 16 * 10, name="dense", dtype=dt)(z))
         net = net.reshape(-1, 12, 16, 10)

@@ -1,0 +1,127 @@
+"""Generation task: the AAAI'21 acoustic-image generator (TrainerMask).
+
+Wires ResNet50 + UNetAcResNet{0,1,2}skip over (video, mfcc) -> acoustic
+image exactly as ``/root/reference/trainer/mfcctrainer.py:28-82``:
+
+    mfccmap = tile(mfcc)                      (:38-40)
+    feat    = ResNet50(video)                 (:42)
+    out     = UNetAcRes(mfccmap, feat)        (:45)
+    loss    = [MSE] + [Huber] + latent_weight * mean(KL) + L2(resnet, 5e-4)
+                                              (:46-62; reg via get_total_loss)
+
+Eval reports the size-weighted MSE plus per-3-channel MSEs
+(``:105-117``); validation best-epoch gating uses plain MSE (``:367-395``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acoustic_image_generation_tpu.core.config import ExperimentConfig
+from acoustic_image_generation_tpu.data.preprocess import Batch
+from acoustic_image_generation_tpu.losses import (
+    huber_tf,
+    kl_diag_gaussian,
+    l2_regularization,
+    mse_tf,
+)
+from acoustic_image_generation_tpu.models import ResNet50, UNetAcResNet
+from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
+
+
+class GenerationTask:
+    eval_metric = "mse"
+
+    def __init__(self, config: ExperimentConfig):
+        self.cfg = config
+        dt = jnp.bfloat16 if config.parallel.compute_dtype == "bfloat16" else jnp.float32
+        ch = config.data.num_channels
+        u = config.model.resnet_units
+        blocks = ((64, u[0], 1), (128, u[1], 2), (256, u[2], 2), (512, u[3], 1))
+        self.resnet = ResNet50(blocks=blocks, dtype=dt)
+        self.generator = UNetAcResNet(
+            channels=ch,
+            skips=config.model.num_skip_conn,
+            embedding=config.model.ae,
+            dtype=dt,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_variables(self, rng, batch: Batch):
+        kr, kg, kl = jax.random.split(rng, 3)
+        video = batch.video[:1]
+        rv = self.resnet.init({"params": kr}, video, train=False)
+        mfccmap = tile_mfccmap(batch.mfcc[:1])
+        gv = self.generator.init(
+            {"params": kg, "latent": kl}, mfccmap, jnp.zeros((1, 12, 16, 12), video.dtype)
+        )
+        params = {"resnet": rv["params"], "generator": gv["params"]}
+        batch_stats = {"resnet": rv["batch_stats"]}
+        return params, batch_stats
+
+    # ------------------------------------------------------------------ loss
+
+    def _forward(self, params, batch_stats, batch: Batch, rngs, *, train: bool):
+        if train:
+            feat, mutated = self.resnet.apply(
+                {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
+                batch.video,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = {"resnet": mutated["batch_stats"]}
+        else:
+            feat = self.resnet.apply(
+                {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
+                batch.video,
+                train=False,
+            )
+            new_stats = batch_stats
+        out = self.generator.apply(
+            {"params": params["generator"]},
+            tile_mfccmap(batch.mfcc),
+            feat,
+            rngs={"latent": rngs["latent"]},
+        )
+        return out, new_stats
+
+    def loss(self, params, batch_stats, batch: Batch, rngs, *, train: bool):
+        out, new_stats = self._forward(params, batch_stats, batch, rngs, train=train)
+        cfg = self.cfg.optim
+        recon = out.output.astype(jnp.float32)
+        target = batch.acoustic
+
+        mse = mse_tf(target, recon)
+        metrics = {"mse": mse}
+        total = jnp.float32(0.0)
+        if cfg.mse:
+            total = total + mse
+        if cfg.huber:
+            hub = huber_tf(target, recon)
+            metrics["huber"] = hub
+            total = total + hub
+        if not self.cfg.model.ae:
+            kl = cfg.latent_loss * jnp.mean(kl_diag_gaussian(out.mean, out.std))
+            metrics["latent_loss"] = kl
+            total = total + kl
+        reg = l2_regularization(params["resnet"], cfg.resnet_weight_decay)
+        metrics["regularization"] = reg
+        total = total + reg
+        metrics["loss"] = total
+        return total, metrics, new_stats
+
+    # ------------------------------------------------------------------ eval
+
+    def eval_losses(self, params, batch_stats, batch: Batch, rngs):
+        """Per-frame loss vectors for size-weighted accumulation
+        (mfcctrainer.py:411-442) + per-3-channel test MSEs (:105-117)."""
+        out, _ = self._forward(params, batch_stats, batch, rngs, train=False)
+        recon = out.output.astype(jnp.float32)
+        err = jnp.square(recon - batch.acoustic)
+        per_frame = jnp.mean(err, axis=(1, 2, 3))
+        losses = {"mse": per_frame}
+        for i in range(4):
+            losses[f"mse{i}"] = jnp.mean(err[..., 3 * i : 3 * i + 3], axis=(1, 2, 3))
+        return losses, recon

@@ -1,0 +1,248 @@
+"""Generic trainer: one jitted train/eval step + epoch loop + checkpoint gate.
+
+Replaces the reference's eight near-duplicate trainer classes (SURVEY.md
+§2.4) with one loop parametrized by a *task* object providing:
+
+- ``init_variables(rng, batch) -> (params, batch_stats)``
+- ``loss(params, batch_stats, batch, rngs, train) -> (loss, metrics, stats)``
+- ``eval_losses(params, batch_stats, batch, rngs) -> (per_sample_dict, aux)``
+- ``eval_metric`` — which eval loss gates best-epoch checkpointing
+- optional ``param_labels(params)`` — optax.multi_transform labels for
+  partially frozen graphs (e.g. the frozen generator of
+  ``trainer_reconstructed_class.py:61``: label "frozen" -> zero updates)
+
+TPU-first structure (vs ``/root/reference/trainer/*.py``):
+- the whole step — preprocessing (MFCC, normalizations), forward, loss,
+  backward, Adam update — is ONE jitted XLA program; the host only decodes
+  bytes and enqueues (no per-step feed_dict / py_func round trips);
+- batches are sharded over the ``data`` mesh axis, state is replicated;
+  XLA inserts the gradient all-reduce over ICI from the sharding
+  annotations;
+- epoch bookkeeping mirrors the reference: per-epoch validation with
+  size-weighted losses, best-val checkpoint + ``model.txt``,
+  every-10-epochs snapshots, ``test_accuracy_{epoch}.txt`` on test.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from acoustic_image_generation_tpu.core import rng as rng_mod
+from acoustic_image_generation_tpu.core.config import ExperimentConfig
+from acoustic_image_generation_tpu.data import preprocess
+from acoustic_image_generation_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from acoustic_image_generation_tpu.train import checkpoint as ckpt
+from acoustic_image_generation_tpu.train.state import TrainState
+
+
+class Trainer:
+    def __init__(self, task, config: ExperimentConfig, mesh=None):
+        self.task = task
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else make_mesh(config.parallel.num_devices)
+        self.run_dir = os.path.join(config.run.checkpoint_dir, config.run.exp_name)
+        self.base_key = rng_mod.experiment_key(config.run.seed)
+
+        lr = config.optim.learning_rate
+        if hasattr(task, "param_labels"):
+            self.tx = optax.multi_transform(
+                {"train": optax.adam(lr), "frozen": optax.set_to_zero()},
+                task.param_labels,
+            )
+        else:
+            self.tx = optax.adam(lr)
+
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._init = jax.jit(self._init_impl)
+
+    # ---------------------------------------------------------------- batch
+
+    def _prepare(self, raw: dict) -> preprocess.Batch:
+        """Flatten (N, F, ...) clips to frames and run device preprocessing
+        (inside jit)."""
+        f = raw["acoustic"].shape[1]
+        flat = lambda x: x.reshape(-1, *x.shape[2:])
+        batch = preprocess.preprocess_batch(
+            flat(raw["acoustic"]),
+            flat(raw["audio"]),
+            flat(raw["video"]),
+            jnp.repeat(raw["action"], f),
+            jnp.repeat(raw["location"], f),
+        )
+        if self.cfg.data.correspondence:
+            if self.cfg.data.correspondence_video:
+                batch = preprocess.correspondence_augment_no_video(batch)
+            else:
+                batch = preprocess.correspondence_augment(batch)
+        return batch
+
+    def device_batch(self, raw_batch) -> dict:
+        """Host RawBatch -> sharded device arrays (+ valid count)."""
+        arrays = {
+            "acoustic": raw_batch.acoustic,
+            "audio": raw_batch.audio,
+            "video": raw_batch.video,
+            "action": raw_batch.action,
+            "location": raw_batch.location,
+        }
+        out = {
+            k: jax.device_put(v, self._batch_sharding) for k, v in arrays.items()
+        }
+        out["valid"] = jnp.int32(raw_batch.valid)
+        return out
+
+    # ---------------------------------------------------------------- steps
+
+    def _init_impl(self, rng, raw):
+        batch = self._prepare(raw)
+        params, batch_stats = self.task.init_variables(rng, batch)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.int32(0), params=params, batch_stats=batch_stats, opt_state=opt_state
+        )
+
+    def init_state(self, raw_batch) -> TrainState:
+        raw = self.device_batch(raw_batch)
+        state = self._init(rng_mod.role_key(self.base_key, "init"), raw)
+        return jax.device_put(state, self._replicated)
+
+    def _train_step_impl(self, state: TrainState, raw: dict):
+        batch = self._prepare(raw)
+        rngs = rng_mod.train_step_rngs(self.base_key, state.step)
+
+        def loss_fn(params):
+            loss, metrics, new_stats = self.task.loss(
+                params, state.batch_stats, batch, rngs, train=True
+            )
+            return loss, (metrics, new_stats)
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    def _eval_step_impl(self, state: TrainState, raw: dict, key):
+        batch = self._prepare(raw)
+        rngs = {"latent": key, "dropout": key, "moddrop": key}
+        losses, _ = self.task.eval_losses(state.params, state.batch_stats, batch, rngs)
+        n_total = next(iter(losses.values())).shape[0]
+        per_clip_frames = n_total // raw["action"].shape[0]
+        mask = (
+            jnp.arange(n_total) < raw["valid"] * per_clip_frames
+        ).astype(jnp.float32)
+        sums = {k: jnp.sum(v * mask) for k, v in losses.items()}
+        return sums, jnp.sum(mask)
+
+    # ---------------------------------------------------------------- loops
+
+    def train_step(self, state, raw_batch):
+        raw = self.device_batch(raw_batch)
+        return self._train_step(state, raw)
+
+    def evaluate(self, state: TrainState, loader, epoch: int = 0) -> dict:
+        """Size-weighted mean eval losses (trainer/*.py ``_evaluate``)."""
+        sums: dict = {}
+        count = 0.0
+        for i, raw_batch in enumerate(loader.batches(epoch)):
+            raw = self.device_batch(raw_batch)
+            key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
+            batch_sums, n = self._eval_step(state, raw, key)
+            batch_sums = jax.device_get(batch_sums)
+            for k, v in batch_sums.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += float(n)
+        return {k: v / max(count, 1.0) for k, v in sums.items()}
+
+    def fit(self, train_loader, valid_loader, *, state: TrainState | None = None) -> TrainState:
+        cfg = self.cfg
+        os.makedirs(self.run_dir, exist_ok=True)
+        cfg.save(os.path.join(self.run_dir, "configuration.txt"))
+        metrics_log = ckpt.MetricsWriter(self.run_dir)
+        tracker = ckpt.BestTracker(
+            self.run_dir, cfg.run.exp_name, mode=getattr(self.task, "eval_mode", "min")
+        )
+
+        first = None
+        if state is None:
+            for first in train_loader.batches(0):
+                break
+            assert first is not None, "empty training loader"
+            state = self.init_state(first)
+
+        for epoch in range(cfg.optim.num_epochs):
+            t0 = time.time()
+            n_steps = 0
+            last_metrics: dict = {}
+            for raw_batch in train_loader.batches(epoch):
+                state, metrics = self.train_step(state, raw_batch)
+                n_steps += 1
+                if n_steps % max(cfg.run.display_freq, 1) == 0:
+                    last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dt = time.time() - t0
+            val = self.evaluate(state, valid_loader, epoch)
+            val_loss = val[self.task.eval_metric]
+            clips_per_sec = n_steps * train_loader.batch_size / max(dt, 1e-9)
+            metrics_log.write(
+                {
+                    "epoch": epoch,
+                    "train": last_metrics,
+                    "valid": val,
+                    "steps": n_steps,
+                    "seconds": dt,
+                    "clips_per_sec": clips_per_sec,
+                }
+            )
+            print(
+                f"{datetime.now()}: {cfg.run.exp_name} - Epoch: {epoch}\t"
+                f"Validation_{self.task.eval_metric}_Loss: {val_loss:6f}\t"
+                f"({clips_per_sec:.1f} clips/s)"
+            )
+            if epoch % 10 == 0:
+                ckpt.save_checkpoint(self.run_dir, epoch, state)
+            if tracker.update(epoch, val_loss):
+                ckpt.save_checkpoint(self.run_dir, epoch, state)
+        return state
+
+    def test(self, state: TrainState, test_loader, epoch: int | None = None) -> dict:
+        """Evaluate + write ``test_accuracy{_epoch}.txt`` like
+        ``mfcctrainer.py:476-536``."""
+        results = self.evaluate(state, test_loader)
+        os.makedirs(self.run_dir, exist_ok=True)
+        suffix = f"_{epoch}" if epoch is not None else ""
+        with open(os.path.join(self.run_dir, f"test_accuracy{suffix}.txt"), "w") as f:
+            parts = " - ".join(f"{k}: {v:6f}" for k, v in sorted(results.items()))
+            f.write(f"{datetime.now()}: {self.cfg.run.exp_name} - {parts}\n")
+        return results
+
+    # ---------------------------------------------------------------- io
+
+    def save(self, name, state):
+        return ckpt.save_checkpoint(self.run_dir, name, state)
+
+    def restore(self, path, template_state):
+        return ckpt.restore_checkpoint(path, template_state)

@@ -1,0 +1,124 @@
+"""Benchmark: flagship generation-training throughput on the local chip.
+
+Measures the full AAAI'21 generation train step — device MFCC frontend +
+ResNet50 conditioning + UNetAcResNet, MSE+Huber+KL+L2 loss, backward, Adam
+— in bfloat16, and reports audio-visual clips/sec/chip (1 clip = 1 second
+= 12 synchronized frames of acoustic image + audio + video).
+
+Baseline: the driver north-star target of 5,000 clips/sec on a v5e-8
+(BASELINE.json) == 625 clips/sec/chip; ``vs_baseline`` is measured/625.
+The TF1 reference has no published throughput (BASELINE.md).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_CHIP = 5000.0 / 8.0
+
+
+def main() -> None:
+    import optax
+
+    from acoustic_image_generation_tpu.data.preprocess import preprocess_batch
+    from acoustic_image_generation_tpu.losses import (
+        huber_tf,
+        kl_diag_gaussian,
+        l2_regularization,
+        mse_tf,
+    )
+    from acoustic_image_generation_tpu.models import ResNet50, UNetAcResNet
+    from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
+
+    frames = 12 * 8  # 8 clips per step
+    rng = np.random.default_rng(0)
+    acoustic = rng.random((frames, 36, 48, 12), dtype=np.float32)
+    audio = rng.integers(-(2**15), 2**15, (frames, 1024)).astype(np.int32)
+    video = rng.integers(0, 255, (frames, 224, 298, 3)).astype(np.uint8)
+    action = np.zeros((frames,), np.int32)
+
+    resnet = ResNet50(dtype=jnp.bfloat16)
+    generator = UNetAcResNet(skips=1, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def init():
+        rv = resnet.init({"params": jax.random.key(0)}, jnp.zeros((1, 224, 298, 3)), train=False)
+        gv = generator.init(
+            {"params": jax.random.key(1), "latent": jax.random.key(2)},
+            jnp.zeros((1, 36, 48, 12)),
+            jnp.zeros((1, 12, 16, 12)),
+        )
+        return {"resnet": rv["params"], "generator": gv["params"]}, rv["batch_stats"]
+
+    params, batch_stats = init()
+    tx = optax.adam(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, acoustic, audio, video, action, key):
+        batch = preprocess_batch(acoustic, audio, video, action, action)
+
+        def loss_fn(p):
+            feat, mut = resnet.apply(
+                {"params": p["resnet"], "batch_stats": batch_stats},
+                batch.video, train=True, mutable=["batch_stats"],
+            )
+            out = generator.apply(
+                {"params": p["generator"]}, tile_mfccmap(batch.mfcc), feat,
+                rngs={"latent": key},
+            )
+            recon = out.output.astype(jnp.float32)
+            loss = (
+                mse_tf(batch.acoustic, recon)
+                + huber_tf(batch.acoustic, recon)
+                + 1e-6 * jnp.mean(kl_diag_gaussian(out.mean, out.std))
+                + l2_regularization(p["resnet"], 5e-4)
+            )
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    args = (
+        jnp.asarray(acoustic), jnp.asarray(audio), jnp.asarray(video), jnp.asarray(action),
+    )
+
+    # warmup (compile + 2 steady steps)
+    for i in range(3):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, *args, jax.random.key(i)
+        )
+    jax.block_until_ready(loss)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, *args, jax.random.key(100 + i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = n_steps * (frames / 12) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "generation_train_clips_per_sec_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end training smoke tests on the virtual 8-device CPU mesh:
+synthetic shards -> loader -> jitted sharded train step -> validate ->
+checkpoint -> restore -> test (SURVEY.md §4 test strategy).
+
+The box running CI may have a single CPU core, so the fast path uses the
+acoustic-only ReconstructTask; the flagship GenerationTask runs with a
+structurally identical reduced-depth ResNet (1 unit/block)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from acoustic_image_generation_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    ParallelConfig,
+    RunConfig,
+)
+from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+from acoustic_image_generation_tpu.train.checkpoint import BestTracker
+from acoustic_image_generation_tpu.train.generation import GenerationTask
+from acoustic_image_generation_tpu.train.reconstruct import ReconstructTask
+from acoustic_image_generation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("acivw")
+    # 4 videos x 2 seconds = 8 sliding windows -> one full batch of 8
+    lists = write_synthetic_dataset(
+        str(out), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    return lists
+
+
+def make_config(tmp_path, **model_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(**model_kw),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=2),
+        run=RunConfig(exp_name="smoke", checkpoint_dir=str(tmp_path), seed=0),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+
+
+@pytest.mark.slow
+def test_reconstruct_end_to_end(tiny_dataset, tmp_path):
+    cfg = make_config(tmp_path, encoder_type="Ac")
+    train_loader = AcousticImageDataLoader(
+        tiny_dataset["training"], "training", cfg.data.batch_size
+    )
+    valid_loader = AcousticImageDataLoader(
+        tiny_dataset["validation"], "validation", cfg.data.batch_size
+    )
+    assert train_loader.num_windows == 8
+
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    assert trainer.mesh.devices.size == 8  # virtual v5e-8
+
+    state = trainer.fit(train_loader, valid_loader)
+    assert int(state.step) == 2  # 2 epochs x 1 full batch
+
+    run_dir = trainer.run_dir
+    assert os.path.exists(os.path.join(run_dir, "model.txt"))
+    assert os.path.exists(os.path.join(run_dir, "configuration.txt"))
+    assert glob.glob(os.path.join(run_dir, "epoch_*.ckpt"))
+    best = BestTracker.read_best_epoch(run_dir)
+    assert best >= 0
+
+    # restore into a fresh template and test
+    path = os.path.join(run_dir, f"epoch_{best}.ckpt")
+    for first in train_loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    restored = trainer.restore(path, template)
+    results = trainer.test(restored, valid_loader, epoch=best)
+    assert np.isfinite(results["mse"])
+    assert os.path.exists(os.path.join(run_dir, f"test_accuracy_{best}.txt"))
+
+    # training reduced reconstruction error vs the fresh initialization
+    fresh = trainer.evaluate(template, valid_loader)
+    assert results["mse"] < fresh["mse"]
+
+
+@pytest.mark.slow
+def test_generation_step_and_eval(tiny_dataset, tmp_path):
+    """Flagship wiring (reduced-depth ResNet): one sharded train step +
+    masked eval on the 8-device mesh."""
+    cfg = make_config(
+        tmp_path, embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1)
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    for raw in loader.batches(0):
+        break
+    state = trainer.init_state(raw)
+    s1, metrics = trainer.train_step(state, raw)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["loss"]) and np.isfinite(m["mse"])
+    assert int(s1.step) == 1
+    val = trainer.evaluate(s1, loader)
+    assert {"mse", "mse0", "mse1", "mse2", "mse3"} <= set(val)
+    assert np.isfinite(val["mse"])
