@@ -164,7 +164,15 @@ def select_task(config: ExperimentConfig):
     """Reference trainer dispatch (main.py:214-240, 309-323)."""
     m = config.model
     if m.embedding:
-        if m.mfcc and not (m.project or m.jointmvae):
+        if m.project:
+            from acoustic_image_generation_tpu.train.project import ProjectTask
+
+            return ProjectTask(config)
+        if m.jointmvae:
+            from acoustic_image_generation_tpu.train.joint import JointTask
+
+            return JointTask(config)
+        if m.mfcc:
             from acoustic_image_generation_tpu.train.generation import GenerationTask
 
             return GenerationTask(config)

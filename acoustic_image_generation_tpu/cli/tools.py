@@ -1,0 +1,218 @@
+"""Analysis-tool CLI: the reference's standalone script fleet as
+subcommands.
+
+    python -m acoustic_image_generation_tpu.cli.tools <cmd> ...
+
+| subcommand | replaces (reference)                     |
+|------------|------------------------------------------|
+| iou        | iouenergythreshold.py (all 11 thresholds in ONE pass) |
+| auc        | areaundercurve.py                        |
+| knn        | knn.py (15-NN on exported latents)       |
+| retrieve   | retrieve.py (rank-1/2/5/10/30)           |
+| aggregate  | meanstd.py (5-seed trimmed mean +- std)  |
+| extract    | extract_features_unetraces/_triplet.py   |
+
+Artifacts keep the reference's file names (``intersection_{t}_accuracy.txt``,
+``area.txt``, ``*_knn_value.txt``) so existing sweep tooling keeps working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_iou(args) -> int:
+    """Real-vs-generated energy IoU sweep over the test split."""
+    from acoustic_image_generation_tpu.cli.main import config_from_args, build_parser, make_loader, select_task
+    from acoustic_image_generation_tpu.evaluation.localize import run_iou_sweep
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = build_parser().parse_args(args.train_flags)
+    config = config_from_args(main_args)
+    task = select_task(config)
+    trainer = Trainer(task, config)
+    loader = make_loader(config, "testing")
+    for first in loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    state = trainer.restore(args.checkpoint, template)
+    out_dir = args.out_dir or trainer.run_dir
+    res = run_iou_sweep(task, state, loader, out_dir)
+    print(json.dumps({"auc": res["auc"], "fractions": {str(k): v for k, v in res["fractions"].items()}}))
+    return 0
+
+
+def cmd_auc(args) -> int:
+    """AUC from existing intersection_{t}_accuracy.txt files
+    (areaundercurve.py:26-40)."""
+    from acoustic_image_generation_tpu.evaluation.iou import localization_auc
+
+    fractions = {}
+    for t in [round(0.1 * i, 1) for i in range(11)]:
+        path = os.path.join(args.dir, f"intersection_{t}_accuracy.txt")
+        with open(path) as f:
+            fractions[t] = float(f.read().split()[1])
+    auc = localization_auc(fractions)
+    with open(os.path.join(args.dir, "area.txt"), "w") as f:
+        f.write(f"{auc:6f}")
+    print(auc)
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from acoustic_image_generation_tpu.evaluation.export import load_features
+    from acoustic_image_generation_tpu.evaluation.knn import knn_accuracy
+
+    train_x, train_y, _ = load_features(args.train_dir, "training")
+    test_x, test_y, _ = load_features(args.test_dir, args.set)
+    acc = knn_accuracy(train_x, train_y, test_x, test_y, k=args.k)
+    out = os.path.join(args.test_dir, f"{args.set}_knn_value.txt")
+    with open(out, "w") as f:
+        f.write(f"{acc:6f}\n")
+    print(acc)
+    return 0
+
+
+def cmd_retrieve(args) -> int:
+    from acoustic_image_generation_tpu.evaluation.export import load_features
+    from acoustic_image_generation_tpu.evaluation.retrieve import retrieval_ranks
+
+    anchors, a_labels, _ = load_features(args.anchor_dir, args.set)
+    gallery, g_labels, _ = load_features(args.gallery_dir, args.set)
+    res = retrieval_ranks(anchors, a_labels, gallery, g_labels, args.num_classes)
+    ranks = {k: v for k, v in res.items() if k.startswith("rank")}
+    with open(os.path.join(args.anchor_dir, f"{args.set}_retrieval.txt"), "w") as f:
+        f.write(json.dumps(ranks, indent=2))
+    print(json.dumps(ranks))
+    return 0
+
+
+def cmd_aggregate(args) -> int:
+    from acoustic_image_generation_tpu.evaluation.aggregate import aggregate_runs
+
+    metric_values: dict[str, list[float]] = {}
+    for path in args.files:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                # accept "name value" or bare floats (named by file)
+                parts = line.split()
+                if len(parts) >= 2:
+                    try:
+                        metric_values.setdefault(parts[0], []).append(float(parts[-1]))
+                        continue
+                    except ValueError:
+                        pass
+                try:
+                    metric_values.setdefault(os.path.basename(path), []).append(float(parts[-1]))
+                except ValueError:
+                    continue
+    out = aggregate_runs(metric_values, args.out)
+    print(json.dumps(out, indent=2, sort_keys=True))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    """Export per-second latents of a trained embed model
+    (extract_triplet.py protocol: z = mean + std*eps)."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli.main import build_parser, config_from_args, make_loader, select_task
+    from acoustic_image_generation_tpu.evaluation.export import export_features
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = build_parser().parse_args(args.train_flags)
+    config = config_from_args(main_args)
+    task = select_task(config)
+    assert hasattr(task, "embeddings"), "extract requires an embedding task"
+    trainer = Trainer(task, config)
+    loader = make_loader(config, {"training": "training", "validation": "validation",
+                                  "testing": "testing"}[args.set])
+    for first in loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    state = trainer.restore(args.checkpoint, template)
+
+    feats: dict[str, list] = {}
+    labels, scenario = [], []
+    step = jax.jit(
+        lambda raw, key: task.embeddings(
+            state.params, state.batch_stats, trainer._prepare(raw), key
+        )
+    )
+    for i, raw_batch in enumerate(loader.batches(0)):
+        raw = trainer.device_batch(raw_batch)
+        z = jax.device_get(step(raw, jax.random.fold_in(jax.random.key(0), i)))
+        n = raw_batch.valid
+        for mod, arr in z.items():
+            feats.setdefault(mod, []).append(np.asarray(arr)[:n])
+        labels.append(raw_batch.action[:n])
+        scenario.append(raw_batch.location[:n])
+    epoch = os.path.basename(args.checkpoint).split("_")[1].split(".")[0]
+    for mod, arrs in feats.items():
+        export_features(
+            args.out_dir, args.set, mod, epoch,
+            np.concatenate(arrs), np.concatenate(labels), np.concatenate(scenario),
+            config.data.num_classes, config.data.num_locations,
+        )
+    print(f"exported {sorted(feats)} to {args.out_dir}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aig-tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("iou", help="energy-IoU threshold sweep + AUC")
+    s.add_argument("checkpoint")
+    s.add_argument("--out_dir", default=None)
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_iou)
+
+    s = sub.add_parser("auc", help="AUC from intersection_*.txt files")
+    s.add_argument("dir")
+    s.set_defaults(fn=cmd_auc)
+
+    s = sub.add_parser("knn", help="15-NN latent classification")
+    s.add_argument("train_dir")
+    s.add_argument("test_dir")
+    s.add_argument("--set", default="testing")
+    s.add_argument("--k", type=int, default=15)
+    s.set_defaults(fn=cmd_knn)
+
+    s = sub.add_parser("retrieve", help="cross-modal rank-k retrieval")
+    s.add_argument("anchor_dir")
+    s.add_argument("gallery_dir")
+    s.add_argument("--set", default="testing")
+    s.add_argument("--num_classes", type=int, default=10)
+    s.set_defaults(fn=cmd_retrieve)
+
+    s = sub.add_parser("aggregate", help="multi-seed trimmed mean +- std")
+    s.add_argument("files", nargs="+")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_aggregate)
+
+    s = sub.add_parser("extract", help="export latents for knn/retrieval")
+    s.add_argument("checkpoint")
+    s.add_argument("out_dir")
+    s.add_argument("--set", default="testing")
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_extract)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Raw capture -> TFRecord dataset conversion.
+
+TF-free port of the converter family (``/root/reference/convert_data.py``;
+variants 2-4 add boxes / classnumber / event context):
+
+- video frames: aspect-preserving resize to smallest side 224 then central
+  224x298 crop (``convert_data.py:60-158``), stored as raw uint8 bytes;
+- audio: the synchronized wav split into 12 x 1024-sample chunks per second
+  (``:221-228``), stored as raw int32 bytes;
+- optional acoustic images (float32 frames) when the capture includes the
+  beamformer output;
+- directory layout ``{out}/class_{c}/data_{v:03d}/Data_{s:03d}.tfrecord``,
+  one GZIP SequenceExample per second (``:245-279``);
+- extra context features for the other datasets: FlickrSoundNet bounding
+  boxes as int32 raw-byte per-frame sequence features
+  (``convert_data2.py:225-262``), ``classnumber`` (``convert_data4.py``),
+  ``event`` (``convert_data3.py``).
+
+Image IO uses PIL, wav IO scipy; both host-side and outside the training
+path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from acoustic_image_generation_tpu.data import proto, tfrecord
+
+FRAMES_PER_SECOND = 12
+NUM_SAMPLES = 1024
+VIDEO_H, VIDEO_W = 224, 298
+
+
+def aspect_preserving_resize(image: np.ndarray, smallest_side: int = 224) -> np.ndarray:
+    """Bilinear resize so min(h, w) == smallest_side (convert_data.py:60-97)."""
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    scale = smallest_side / min(h, w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    return np.asarray(Image.fromarray(image).resize((new_w, new_h), Image.BILINEAR))
+
+
+def central_crop(image: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    """(convert_data.py:120-138)."""
+    h, w = image.shape[:2]
+    oh = (h - crop_h) // 2
+    ow = (w - crop_w) // 2
+    return image[oh : oh + crop_h, ow : ow + crop_w, :]
+
+
+def prepare_video_frame(image: np.ndarray) -> np.ndarray:
+    """Raw frame -> (224, 298, 3) uint8."""
+    image = aspect_preserving_resize(image, 224)
+    image = central_crop(image, VIDEO_H, VIDEO_W)
+    assert image.shape == (VIDEO_H, VIDEO_W, 3), image.shape
+    return np.ascontiguousarray(image, dtype=np.uint8)
+
+
+def read_wav(path: str) -> np.ndarray:
+    """Mono waveform as int32 samples."""
+    from scipy.io import wavfile
+
+    _, data = wavfile.read(path)
+    if data.ndim > 1:
+        data = data[:, 0]
+    return data.astype(np.int32)
+
+
+def make_second_example(
+    *,
+    classes: int,
+    location: int,
+    audio: np.ndarray | None = None,  # (12, 1024) int32
+    video: np.ndarray | None = None,  # (12, 224, 298, 3) uint8
+    acoustic: np.ndarray | None = None,  # (12, 36, 48, C) float32
+    boxes: dict | None = None,  # {xmin,xmax,ymin,ymax,typescene}: (12, 3) int32
+    classnumber: int | None = None,
+    event: int | None = None,
+) -> bytes:
+    """One second of synchronized data -> serialized SequenceExample
+    matching the schema of every reference loader."""
+    ex = proto.SequenceExample()
+    ex.context["classes"] = proto.int64_feature(classes)
+    ex.context["location"] = proto.int64_feature(location)
+    if audio is not None:
+        ex.context["audio_data/mics"] = proto.int64_feature(1)
+        ex.context["audio_data/samples"] = proto.int64_feature(audio.shape[1])
+        ex.feature_lists["audio/data"] = [
+            proto.bytes_feature(np.ascontiguousarray(f, np.int32).tobytes()) for f in audio
+        ]
+    if video is not None:
+        ex.context["video/height"] = proto.int64_feature(video.shape[1])
+        ex.context["video/width"] = proto.int64_feature(video.shape[2])
+        ex.context["video/depth"] = proto.int64_feature(video.shape[3])
+        ex.feature_lists["video/image"] = [
+            proto.bytes_feature(np.ascontiguousarray(f, np.uint8).tobytes()) for f in video
+        ]
+    if acoustic is not None:
+        ex.context["audio_image/height"] = proto.int64_feature(acoustic.shape[1])
+        ex.context["audio_image/width"] = proto.int64_feature(acoustic.shape[2])
+        ex.context["audio_image/depth"] = proto.int64_feature(acoustic.shape[3])
+        ex.feature_lists["audio/image"] = [
+            proto.bytes_feature(np.ascontiguousarray(f, np.float32).tobytes()) for f in acoustic
+        ]
+    if boxes is not None:  # convert_data2.py: scaled int32 box features
+        for key, arr in boxes.items():
+            ex.feature_lists[key] = [
+                proto.bytes_feature(np.ascontiguousarray(f, np.int32).tobytes()) for f in arr
+            ]
+    if classnumber is not None:
+        ex.context["classnumber"] = proto.int64_feature(classnumber)
+    if event is not None:
+        ex.context["event"] = proto.int64_feature(event)
+    return ex.encode()
+
+
+def convert_capture_dir(
+    raw_dir: str,
+    out_dir: str,
+    *,
+    classes: int,
+    location: int,
+    modalities: tuple[int, ...] = (1, 2),
+    wav_name: str = "audio/output_audio2.wav",
+    frame_pattern: str = "video/I_{:06d}.bmp",
+    video_time: int | None = None,
+) -> list[str]:
+    """Convert one capture directory (reference layout:
+    ``class_X/data_YYY/{video/*.bmp, audio/output_audio2.wav,
+    video_time.txt}``) into per-second shards. Returns written paths."""
+    from PIL import Image
+
+    if video_time is None:
+        with open(os.path.join(raw_dir, "video_time.txt")) as f:
+            video_time = int(f.readline().split(":")[1].strip())
+    include_audio = 1 in modalities
+    include_video = 2 in modalities
+
+    wav = read_wav(os.path.join(raw_dir, wav_name)) if include_audio else None
+    out_data_dir = os.path.join(out_dir, f"class_{classes}", f"data_{location:03d}")
+    os.makedirs(out_data_dir, exist_ok=True)
+
+    written = []
+    for sec in range(video_time):
+        audio = video = None
+        if include_audio:
+            start = sec * FRAMES_PER_SECOND * NUM_SAMPLES
+            audio = wav[start : start + FRAMES_PER_SECOND * NUM_SAMPLES].reshape(
+                FRAMES_PER_SECOND, NUM_SAMPLES
+            )
+        if include_video:
+            frames = []
+            for i in range(FRAMES_PER_SECOND):
+                idx = sec * FRAMES_PER_SECOND + i + 1
+                img = np.asarray(Image.open(os.path.join(raw_dir, frame_pattern.format(idx))))
+                frames.append(prepare_video_frame(img))
+            video = np.stack(frames)
+        payload = make_second_example(
+            classes=classes, location=location, audio=audio, video=video
+        )
+        path = os.path.join(out_data_dir, f"Data_{sec + 1:03d}.tfrecord")
+        tfrecord.write_records(path, [payload])
+        written.append(path)
+    return written
+
+
+def write_list_files(out_dir: str, shard_paths: list[str], splits=(0.7, 0.15, 0.15)) -> dict:
+    """Emit training/validation/testing list files over whole videos (the
+    reference splits by capture directory, not by second)."""
+    by_dir: dict[str, list[str]] = {}
+    for p in sorted(shard_paths):
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    dirs = sorted(by_dir)
+    n = len(dirs)
+    n_train = max(int(n * splits[0]), 1)
+    n_valid = max(int(n * splits[1]), 1) if n > 2 else 0
+    groups = {
+        "training": dirs[:n_train],
+        "validation": dirs[n_train : n_train + n_valid],
+        "testing": dirs[n_train + n_valid :],
+    }
+    lists = {}
+    os.makedirs(os.path.join(out_dir, "lists"), exist_ok=True)
+    for split, ds in groups.items():
+        path = os.path.join(out_dir, "lists", f"{split}.txt")
+        with open(path, "w") as f:
+            for d in ds:
+                for p in by_dir[d]:
+                    f.write(p + "\n")
+        lists[split] = path
+    return lists

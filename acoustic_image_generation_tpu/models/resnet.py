@@ -88,7 +88,7 @@ class BottleneckV1(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = True):
         depth_in = x.shape[-1]
         if self.depth == depth_in:
             # subsample: 1x1 max-pool with stride (resnet_utils.subsample)
@@ -132,6 +132,10 @@ class ResNet50(nn.Module):
     # dry runs — identical strides, conv_map geometry, and sharding
     # structure, far cheaper to compile on hostless test machines).
     blocks: tuple[tuple[int, int, int], ...] = RESNET50_BLOCKS
+    # Rematerialize each bottleneck unit on the backward pass: activation
+    # HBM drops from ~21 GB to well under v5e's 16 GB at 384-frame batches,
+    # buying batch (and throughput) for ~1/3 extra forward FLOPs.
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -140,16 +144,19 @@ class ResNet50(nn.Module):
             x, train=train
         )
         net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        unit_cls = (
+            nn.remat(BottleneckV1, static_argnums=(2,)) if self.remat else BottleneckV1
+        )
         for b, (base_depth, num_units, block_stride) in enumerate(self.blocks, start=1):
             for u in range(1, num_units + 1):
                 stride = block_stride if u == num_units else 1
-                net = BottleneckV1(
+                net = unit_cls(
                     depth=base_depth * 4,
                     depth_bottleneck=base_depth,
                     stride=stride,
                     name=f"block{b}_unit_{u}",
                     dtype=self.dtype,
-                )(net, train=train)
+                )(net, train)
         net = _ConvBN(12, (3, 4), 1, padding="VALID", name="conv_map", dtype=self.dtype)(
             net, train=train
         )

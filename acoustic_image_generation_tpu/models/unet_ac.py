@@ -57,10 +57,24 @@ class UNetAcoustic(nn.Module):
         self.layer5 = ConvConvPool((128, 128), name="layer5", dtype=dt)
         self.final = layers.conv2d(self.channels, (3, 3), name="final", dtype=dt)
 
+    def features(self, x) -> jnp.ndarray:
+        """Stage-1 feature map (12,16,133) — the two-stage split of
+        ``unet_noconc2.py`` used by the joint-MVAE recipe, which swaps
+        bottleneck feature maps through an associator
+        (``/root/reference/trainer/trainermulti.py:45-59``)."""
+        _, pool1 = self.layer1(x)
+        return self.layer3(pool1)
+
+    def from_features(self, conv2, *, sample: bool = True) -> VaeOutput:
+        """Stage-2: VAE head + decoder over a (possibly associator-swapped)
+        feature map."""
+        z, mean, std = self.vae(conv2, sample=sample)
+        out = self.decode(z)
+        return VaeOutput(out, z, mean, std, conv2)
+
     def encode(self, x, *, sample: bool = True):
         """Encoder half, returning (z, mean, std, features)."""
-        _, pool1 = self.layer1(x)
-        conv2 = self.layer3(pool1)
+        conv2 = self.features(x)
         z, mean, std = self.vae(conv2, sample=sample)
         return z, mean, std, conv2
 

@@ -23,46 +23,71 @@ from acoustic_image_generation_tpu.models.unet_ac import VaeOutput
 
 
 class UNetVideo(nn.Module):
-    """Scope ``UNet`` — video VAE, latent 1024."""
+    """Scope ``UNet`` — video VAE, latent 1024. ``features`` /
+    ``from_features`` expose the two-stage split of
+    ``unet_architecture_noconc2.py`` for the joint-MVAE recipe."""
 
     latent_dim: int = 1024
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
+    def setup(self):
         dt = self.dtype
 
         def ccp(filters, name, pool=False, **kw):
             return ConvConvPool(filters, pool=pool, batch_norm=True, name=name, dtype=dt, **kw)
 
-        # 224x298 -> 74x99 -> 36x49 -> 12x16
-        _, pool1 = ccp(
-            (32, 32), "layer1", pool=True, pool_strides=(3, 3), pool_padding="VALID"
-        )(x, train=train)
-        _, pool2 = ccp((128, 128), "layer2", pool=True, pool_padding="VALID")(pool1, train=train)
-        _, pool3 = ccp(
+        self.layer1 = ccp((32, 32), "layer1", pool=True, pool_strides=(3, 3), pool_padding="VALID")
+        self.layer2 = ccp((128, 128), "layer2", pool=True, pool_padding="VALID")
+        self.layer3 = ccp(
             (256, 256), "layer3", pool=True, pool_strides=(3, 3),
             pool_padding="VALID", pool_kernel=(2, 3),
-        )(pool2, train=train)
-        conv5 = ccp((512, 512), "layer5")(pool3, train=train)
+        )
+        self.layer5 = ccp((512, 512), "layer5")
+        self.vae = VaeHead(self.latent_dim, spatial=(12, 16), dtype=dt)
+        self.dense_dec = layers.dense(12 * 16 * 50, name="dense", dtype=dt)
+        self.conv_dec = layers.conv2d(512, (3, 3), name="conv_dec", dtype=dt)
+        self.upsample_6 = layers.ConvTransposeTF(256, (3, 4), (3, 3), name="upsample_6", dtype=dt)
+        self.layer6 = ccp((256, 256), "layer6")
+        self.layer7 = ccp((256, 256), "layer7")
+        self.upsample_8 = layers.ConvTransposeTF(128, (4, 3), (2, 2), name="upsample_8", dtype=dt)
+        self.layer8 = ccp((128, 128), "layer8")
+        self.layer9 = ccp((128, 128), "layer9")
+        self.upsample_10 = layers.ConvTransposeTF(32, (5, 4), (3, 3), name="upsample_10", dtype=dt)
+        self.layer10 = ccp((32, 32), "layer10")
+        self.layer11 = ccp((32, 32), "layer11")
+        self.final = layers.conv2d(3, (1, 1), name="final", dtype=dt)
 
-        z, mean, std = VaeHead(self.latent_dim, spatial=(12, 16), dtype=dt)(conv5, sample=sample)
+    def features(self, x, *, train: bool = True) -> jnp.ndarray:
+        """Stage-1 (12,16,512) feature map. 224x298 -> 74x99 -> 36x49 -> 12x16."""
+        _, pool1 = self.layer1(x, train=train)
+        _, pool2 = self.layer2(pool1, train=train)
+        _, pool3 = self.layer3(pool2, train=train)
+        return self.layer5(pool3, train=train)
 
-        net = nn.relu(layers.dense(12 * 16 * 50, name="dense", dtype=dt)(z))
+    def decode(self, z, *, train: bool = True) -> jnp.ndarray:
+        net = nn.relu(self.dense_dec(z))
         net = net.reshape(-1, 12, 16, 50)
-        net = nn.relu(layers.conv2d(512, (3, 3), name="conv_dec", dtype=dt)(net))
+        net = nn.relu(self.conv_dec(net))
         # 12x16 -> 36x49 -> 74x99 -> 224x298 via TF-rule deconvs
-        up = layers.ConvTransposeTF(256, (3, 4), (3, 3), name="upsample_6", dtype=dt)(net)
-        up = ccp((256, 256), "layer6")(up, train=train)
-        up = ccp((256, 256), "layer7")(up, train=train)
-        up = layers.ConvTransposeTF(128, (4, 3), (2, 2), name="upsample_8", dtype=dt)(up)
-        up = ccp((128, 128), "layer8")(up, train=train)
-        up = ccp((128, 128), "layer9")(up, train=train)
-        up = layers.ConvTransposeTF(32, (5, 4), (3, 3), name="upsample_10", dtype=dt)(up)
-        up = ccp((32, 32), "layer10")(up, train=train)
-        up = ccp((32, 32), "layer11")(up, train=train)
-        out = nn.sigmoid(layers.conv2d(3, (1, 1), name="final", dtype=dt)(up))
+        up = self.upsample_6(net)
+        up = self.layer6(up, train=train)
+        up = self.layer7(up, train=train)
+        up = self.upsample_8(up)
+        up = self.layer8(up, train=train)
+        up = self.layer9(up, train=train)
+        up = self.upsample_10(up)
+        up = self.layer10(up, train=train)
+        up = self.layer11(up, train=train)
+        return nn.sigmoid(self.final(up))
+
+    def from_features(self, conv5, *, sample: bool = True, train: bool = True) -> VaeOutput:
+        z, mean, std = self.vae(conv5, sample=sample)
+        out = self.decode(z, train=train)
         return VaeOutput(out, z, mean, std, conv5)
+
+    def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
+        conv5 = self.features(x, train=train)
+        return self.from_features(conv5, sample=sample, train=train)
 
 
 class UNetEnergy(nn.Module):

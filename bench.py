@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,14 +38,17 @@ def main() -> None:
     from acoustic_image_generation_tpu.models import ResNet50, UNetAcResNet
     from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
 
-    frames = 12 * 8  # 8 clips per step
+    import os  # noqa: PLC0415
+    clips = int(os.environ.get("AIG_BENCH_CLIPS", "16"))
+    frames = 12 * clips
     rng = np.random.default_rng(0)
     acoustic = rng.random((frames, 36, 48, 12), dtype=np.float32)
     audio = rng.integers(-(2**15), 2**15, (frames, 1024)).astype(np.int32)
     video = rng.integers(0, 255, (frames, 224, 298, 3)).astype(np.uint8)
     action = np.zeros((frames,), np.int32)
 
-    resnet = ResNet50(dtype=jnp.bfloat16)
+    remat = os.environ.get("AIG_BENCH_REMAT", "0") == "1"
+    resnet = ResNet50(dtype=jnp.bfloat16, remat=remat)
     generator = UNetAcResNet(skips=1, dtype=jnp.bfloat16)
 
     @jax.jit
@@ -61,7 +65,7 @@ def main() -> None:
     tx = optax.adam(1e-4)
     opt_state = jax.jit(tx.init)(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, acoustic, audio, video, action, key):
         batch = preprocess_batch(acoustic, audio, video, action, action)
 
@@ -91,20 +95,25 @@ def main() -> None:
         jnp.asarray(acoustic), jnp.asarray(audio), jnp.asarray(video), jnp.asarray(action),
     )
 
-    # warmup (compile + 2 steady steps)
+    # warmup (compile + 2 steady steps); fetching the loss VALUE forces
+    # real execution — on a tunneled TPU, block_until_ready alone returns
+    # before the remote computation finishes and wildly overstates
+    # throughput, so every timing boundary below is a value fetch.
     for i in range(3):
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, *args, jax.random.key(i)
         )
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_steps = 20
+    n_steps = int(os.environ.get("AIG_BENCH_STEPS", "10"))
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, *args, jax.random.key(100 + i)
         )
-    jax.block_until_ready(loss)
+    # the last step depends on every earlier step's params; fetching its
+    # loss waits for the whole chain
+    float(loss)
     dt = time.perf_counter() - t0
 
     clips_per_sec = n_steps * (frames / 12) / dt

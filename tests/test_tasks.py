@@ -1,0 +1,153 @@
+"""Task-level smoke tests: init + one sharded train step per recipe on the
+8-device CPU mesh. Heavier flows (full fit/eval loops) are covered for the
+cheap tasks in test_trainer.py; these verify wiring, masking, and finite
+losses for every remaining recipe of SURVEY.md §2.4."""
+
+import jax
+import numpy as np
+import pytest
+
+from acoustic_image_generation_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    ParallelConfig,
+    RunConfig,
+)
+from acoustic_image_generation_tpu.data.pipeline import RawBatch
+from acoustic_image_generation_tpu.train.classify import (
+    ClassificationTask,
+    GeneratedClassificationTask,
+)
+from acoustic_image_generation_tpu.train.embed import EmbedTask
+from acoustic_image_generation_tpu.train.joint import JointTask
+from acoustic_image_generation_tpu.train.project import ProjectTask
+from acoustic_image_generation_tpu.train.trainer import Trainer
+
+
+def make_raw(n_clips=8, frames=12, seed=0) -> RawBatch:
+    rng = np.random.default_rng(seed)
+    return RawBatch(
+        acoustic=rng.random((n_clips, frames, 36, 48, 12), dtype=np.float32),
+        audio=rng.integers(-3000, 3000, (n_clips, frames, 1024)).astype(np.int32),
+        video=rng.integers(0, 255, (n_clips, frames, 224, 298, 3)).astype(np.uint8),
+        action=rng.integers(0, 2, (n_clips,)).astype(np.int32),
+        location=rng.integers(1, 3, (n_clips,)).astype(np.int32),
+        valid=n_clips,
+    )
+
+
+def make_config(tmp_path, **model_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(**model_kw),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="task_smoke", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+
+
+def _one_step(task, cfg):
+    trainer = Trainer(task, cfg)
+    raw = make_raw()
+    state = trainer.init_state(raw)
+    # snapshot before the step: train_step donates (and deletes) the state
+    p0 = jax.device_get(state.params)
+    new_state, metrics = trainer.train_step(state, raw)
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert all(np.isfinite(v) for v in m.values()), m
+    return p0, new_state, m, trainer, raw
+
+
+@pytest.mark.slow
+def test_classification_task(tmp_path):
+    cfg = make_config(tmp_path, model="DualCamNet", mfcc=True)
+    p0, new_state, m, trainer, raw = _one_step(ClassificationTask(cfg), cfg)
+    assert 0.0 <= m["accuracy"] <= 1.0
+    sums, n = trainer._eval_step(new_state, trainer.device_batch(raw), jax.random.key(0))
+    assert float(n) == 8  # per-clip eval
+
+
+@pytest.mark.slow
+def test_classification_mfccmap_variant(tmp_path):
+    cfg = make_config(tmp_path, model="DualCamNet", mfcc=True, mfccmap=True)
+    _one_step(ClassificationTask(cfg), cfg)
+
+
+@pytest.mark.slow
+def test_generated_classification_freezes_generator(tmp_path):
+    cfg = make_config(
+        tmp_path, model="DualCamNet", mfcc=False, resnet_units=(1, 1, 1, 1)
+    )
+    task = GeneratedClassificationTask(cfg)
+    p0, new_state, m, _, _ = _one_step(task, cfg)
+    p1 = jax.device_get(new_state.params)
+    # generator + resnet frozen bit-exact; classifier moved
+    gen_same = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["generator"], p1["generator"])
+    )
+    res_same = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["resnet"], p1["resnet"])
+    )
+    cls_changed = not jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["dualcamnet"], p1["dualcamnet"])
+    )
+    assert gen_same and res_same and cls_changed
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "variant",
+    ["triplet", "fusion", "moddrop", "l2", "proxy"],
+)
+def test_embed_task_variants(tmp_path, variant):
+    kw = dict(embedding=True, num_class=150)
+    if variant != "triplet":
+        kw[{"fusion": "fusion", "moddrop": "moddrop", "l2": "l2", "proxy": "proxy"}[variant]] = True
+    cfg = make_config(tmp_path, **kw)
+    _, _, m, _, _ = _one_step(EmbedTask(cfg), cfg)
+    if variant in ("triplet", "fusion", "moddrop"):
+        assert "triplet" in m
+    if variant == "l2":
+        assert "l2_latent" in m
+    if variant == "proxy":
+        assert "nca" in m
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["video", "fusion"])
+def test_project_task(tmp_path, mode):
+    kw = dict(embedding=True, project=True, encoder_type="Video")
+    if mode == "fusion":
+        kw["fusion"] = True
+    cfg = make_config(tmp_path, **kw)
+    task = ProjectTask(cfg)
+    p0, new_state, m, _, _ = _one_step(task, cfg)
+    # frozen VAEs unchanged, associator trained
+    p1 = jax.device_get(new_state.params)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["acoustic"], p1["acoustic"])
+    )
+    assert not jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["assoc_video"], p1["assoc_video"])
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["joint", "onlyaudiovideo"])
+def test_joint_task(tmp_path, mode):
+    kw = dict(embedding=True, jointmvae=True)
+    if mode == "onlyaudiovideo":
+        kw["onlyaudiovideo"] = True
+    cfg = make_config(tmp_path, **kw)
+    task = JointTask(cfg)
+    p0, new_state, m, _, _ = _one_step(task, cfg)
+    p1 = jax.device_get(new_state.params)
+    trainable = "associator1" if mode == "onlyaudiovideo" else "associator"
+    assert not jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0[trainable], p1[trainable])
+    )
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["video"], p1["video"])
+    )
