@@ -36,6 +36,10 @@ class RawBatch:
     action: np.ndarray  # (N,) int32
     location: np.ndarray  # (N,) int32
     valid: int
+    # dataset-specific extras, each (N, ...): FlickrSoundNet boxes
+    # (xmin/xmax/ymin/ymax (N, F, 3) int32, frames.py:250-299), AVE `event`
+    # ids, 2-object `classnumber` (framesclass.py:247-248)
+    extras: dict | None = None
 
     @property
     def frames(self) -> int:
@@ -62,6 +66,8 @@ class AcousticImageDataLoader:
         drop_remainder: bool | None = None,
         seed: int = 0,
         use_native: bool | None = None,
+        include_boxes: bool = False,
+        include_extras: tuple[str, ...] = (),
     ) -> None:
         assert txt_file is not None
         self.mode = mode
@@ -79,6 +85,10 @@ class AcousticImageDataLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
 
+        self.include_boxes = include_boxes
+        self.extra_context = tuple(include_extras)
+        if include_boxes:
+            use_native = False  # boxes only flow through the Python decoder
         if use_native is None:
             from acoustic_image_generation_tpu.data import native
 
@@ -170,6 +180,13 @@ class AcousticImageDataLoader:
         video = np.zeros((n, f, 224, 298, 3), np.uint8)
         action = np.zeros((n,), np.int32)
         location = np.zeros((n,), np.int32)
+        extras: dict | None = None
+        if self.include_boxes:
+            extras = {k: np.zeros((n, f, 3), np.int32)
+                      for k in ("xmin", "xmax", "ymin", "ymax", "typescene")}
+        for key in self.extra_context:
+            extras = extras or {}
+            extras[key] = np.zeros((n,), np.int32)
         for i, w in enumerate(windows[:valid]):
             if w.acoustic is not None:
                 acoustic[i] = w.acoustic
@@ -179,7 +196,14 @@ class AcousticImageDataLoader:
                 video[i] = w.video
             action[i] = w.action
             location[i] = w.location
-        return RawBatch(acoustic, audio, video, action, location, valid)
+            if self.include_boxes:
+                for k in ("xmin", "xmax", "ymin", "ymax", "typescene"):
+                    if k in w.extras:
+                        extras[k][i] = w.extras[k]
+            for key in self.extra_context:
+                if key in w.extras:
+                    extras[key][i] = w.extras[key]
+        return RawBatch(acoustic, audio, video, action, location, valid, extras)
 
     # ------------------------------------------------------------- iteration
 

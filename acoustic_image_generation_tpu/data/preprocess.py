@@ -134,3 +134,35 @@ def correspondence_augment_no_video(batch: Batch) -> Batch:
         filtered_mfcc=jnp.concatenate([batch.filtered_mfcc, batch.filtered_mfcc]),
         correspondence=onehot,
     )
+
+
+def correspondence_shuffle(batch: Batch, key) -> Batch:
+    """Shuffled-pair correspondence of the AVIA/music loader
+    (outdoor_data.py:854-902): double the batch; the first half keeps
+    aligned (audio, video) pairs (label 1), the second half pairs each
+    video with a randomly shuffled element's audio/acoustic — its label is
+    1 only when the shuffled partner shares both action and location.
+    The whole doubled batch is then permuted with a second key."""
+    import jax
+
+    n = batch.acoustic.shape[0]
+    k1, k2 = jax.random.split(key)
+    perm = jax.random.permutation(k1, n)
+    action2 = batch.action[perm]
+    location2 = batch.location[perm]
+    labels2 = ((batch.action == action2) & (batch.location == location2)).astype(jnp.int32)
+    labels = jnp.concatenate([jnp.ones((n,), jnp.int32), labels2])
+    onehot = jnp.eye(2, dtype=jnp.float32)[labels]
+
+    doubled = Batch(
+        acoustic=jnp.concatenate([batch.acoustic, batch.acoustic[perm]]),
+        audio=jnp.concatenate([batch.audio, batch.audio[perm]]),
+        mfcc=jnp.concatenate([batch.mfcc, batch.mfcc[perm]]),
+        video=jnp.concatenate([batch.video, batch.video]),
+        action=jnp.concatenate([batch.action, action2]),
+        location=jnp.concatenate([batch.location, location2]),
+        filtered_mfcc=jnp.concatenate([batch.filtered_mfcc, batch.filtered_mfcc[perm]]),
+        correspondence=onehot,
+    )
+    final = jax.random.permutation(k2, 2 * n)
+    return Batch(*[x[final] if x is not None else None for x in doubled])

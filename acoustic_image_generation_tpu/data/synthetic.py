@@ -121,3 +121,46 @@ def write_synthetic_dataset(
             f.write("\n".join(all_files) + "\n")
         lists[split] = list_path
     return lists
+
+
+def write_flickr_dataset(
+    out_dir: str,
+    *,
+    num_videos: int = 2,
+    seconds_per_video: int = 2,
+    seed: int = 0,
+) -> dict[str, str]:
+    """Flickr-SoundNet-shaped shards (``convert_data2.py``): zero acoustic
+    images, audio + video, up to 3 scaled bounding boxes per frame stored as
+    int32 raw-byte sequence features (``dataloader/frames.py:250-299``)."""
+    from acoustic_image_generation_tpu.data.convert import make_second_example
+
+    rng = np.random.default_rng(seed)
+    all_files: list[str] = []
+    for v in range(num_videos):
+        data_dir = os.path.join(out_dir, "flickr", f"data_{v + 1:03d}")
+        os.makedirs(data_dir, exist_ok=True)
+        for s in range(seconds_per_video):
+            audio = rng.integers(-3000, 3000, (FRAMES_PER_SECOND, NUM_SAMPLES)).astype(np.int32)
+            video = rng.integers(0, 256, (FRAMES_PER_SECOND, VIDEO_H, VIDEO_W, 3), dtype=np.uint8)
+            # one real box + two absent slots (xmax == 0 marks absence)
+            boxes = {k: np.zeros((FRAMES_PER_SECOND, 3), np.int32)
+                     for k in ("xmin", "xmax", "ymin", "ymax", "typescene")}
+            boxes["xmin"][:, 0] = rng.integers(0, 100)
+            boxes["xmax"][:, 0] = boxes["xmin"][:, 0] + rng.integers(50, 150)
+            boxes["ymin"][:, 0] = rng.integers(0, 100)
+            boxes["ymax"][:, 0] = boxes["ymin"][:, 0] + rng.integers(50, 100)
+            payload = make_second_example(
+                classes=0, location=v + 1,
+                audio=audio, video=video,
+                acoustic=np.zeros((FRAMES_PER_SECOND, ACOUSTIC_H, ACOUSTIC_W, 12), np.float32),
+                boxes=boxes,
+            )
+            path = os.path.join(data_dir, f"Data_{s + 1:03d}.tfrecord")
+            tfrecord.write_records(path, [payload])
+            all_files.append(path)
+    list_path = os.path.join(out_dir, "lists/flickr_testing.txt")
+    os.makedirs(os.path.dirname(list_path), exist_ok=True)
+    with open(list_path, "w") as f:
+        f.write("\n".join(all_files) + "\n")
+    return {"testing": list_path}

@@ -193,3 +193,35 @@ class TestSyntheticAndLoader:
         batches = list(loader.batches())
         assert sum(b.valid for b in batches) == 8
         assert all(b.acoustic.shape[0] == 3 for b in batches)
+
+
+def test_correspondence_shuffle_labels():
+    """Shuffled-pair correspondence (outdoor_data.py:854-902)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acoustic_image_generation_tpu.data.preprocess import (
+        Batch,
+        correspondence_shuffle,
+    )
+
+    n = 16
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        acoustic=jnp.asarray(rng.random((n, 36, 48, 12), dtype=np.float32)),
+        audio=jnp.asarray(rng.normal(size=(n, 1024)).astype(np.float32)),
+        mfcc=jnp.asarray(rng.random((n, 12), dtype=np.float32)),
+        video=jnp.asarray(rng.random((n, 8, 8, 3), dtype=np.float32)),
+        action=jnp.asarray(rng.integers(0, 3, n).astype(np.int32)),
+        location=jnp.asarray(rng.integers(0, 2, n).astype(np.int32)),
+        filtered_mfcc=jnp.asarray(rng.random((n, 12), dtype=np.float32)),
+    )
+    out = correspondence_shuffle(batch, jax.random.key(0))
+    assert out.acoustic.shape[0] == 2 * n
+    labels = np.argmax(np.asarray(out.correspondence), axis=1)
+    # every label-1 element must actually have matching (action, location)
+    # possible between its audio-source and video-source; label-0 must not.
+    # We can't reconstruct pairings post-permutation, but the label count
+    # must be >= n (the aligned half always matches).
+    assert labels.sum() >= n
+    assert set(np.unique(labels)) <= {0, 1}

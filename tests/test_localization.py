@@ -1,0 +1,83 @@
+"""End-to-end localization evaluation: energy-IoU sweep over a generation
+checkpoint and box-IoU sweep over Flickr-shaped shards (SURVEY.md §3.4)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from acoustic_image_generation_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    ParallelConfig,
+    RunConfig,
+)
+from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+from acoustic_image_generation_tpu.data.synthetic import (
+    write_flickr_dataset,
+    write_synthetic_dataset,
+)
+from acoustic_image_generation_tpu.evaluation.localize import run_iou_sweep
+from acoustic_image_generation_tpu.evaluation.localize_boxes import run_box_iou_sweep
+from acoustic_image_generation_tpu.train.generation import GenerationTask
+from acoustic_image_generation_tpu.train.trainer import Trainer
+
+
+def make_cfg(tmp_path):
+    return ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(embedding=True, mfcc=True, resnet_units=(1, 1, 1, 1)),
+        optim=OptimConfig(num_epochs=1),
+        run=RunConfig(exp_name="loc", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+
+
+@pytest.mark.slow
+def test_energy_iou_sweep_writes_reference_artifacts(tmp_path):
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    cfg = make_cfg(tmp_path)
+    loader = AcousticImageDataLoader(lists["testing"], "testing", 8)
+    task = GenerationTask(cfg)
+    trainer = Trainer(task, cfg)
+    for first in loader.batches(0):
+        break
+    # host copy: the sweep runners run single-device jit over the raw batch
+    state = jax.device_get(trainer.init_state(first))
+
+    out_dir = str(tmp_path / "iou")
+    res = run_iou_sweep(task, state, loader, out_dir)
+    assert res["iou"].shape[0] == 8 * 12  # every frame scored
+    assert np.all((res["iou"] >= 0) & (res["iou"] <= 1))
+    assert 0.0 <= res["auc"] <= 1.0
+    # reference artifact files, one per threshold + area.txt
+    assert os.path.exists(os.path.join(out_dir, "intersection_0.5_accuracy.txt"))
+    assert os.path.exists(os.path.join(out_dir, "area.txt"))
+    # fractions are monotonically non-increasing in the threshold
+    ts = sorted(res["fractions"])
+    fr = [res["fractions"][t] for t in ts]
+    assert all(a >= b for a, b in zip(fr, fr[1:]))
+
+
+@pytest.mark.slow
+def test_box_iou_sweep_flickr(tmp_path):
+    lists = write_flickr_dataset(str(tmp_path / "flickr"), num_videos=4, seconds_per_video=2)
+    cfg = make_cfg(tmp_path)
+    loader = AcousticImageDataLoader(
+        lists["testing"], "testing", 8, include_boxes=True, drop_remainder=False
+    )
+    task = GenerationTask(cfg)
+    trainer = Trainer(task, cfg)
+    for first in loader.batches(0):
+        break
+    assert first.extras is not None and first.extras["xmax"].max() > 0
+    state = jax.device_get(trainer.init_state(first))
+    res = run_box_iou_sweep(task, state, loader, str(tmp_path / "bb"))
+    assert res["iou"].shape[0] == 8 * 12
+    assert np.all(np.isfinite(res["iou"]))
+    assert os.path.exists(os.path.join(str(tmp_path / "bb"), "area.txt"))

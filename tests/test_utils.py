@@ -1,0 +1,81 @@
+"""Logger / plots / stats utilities."""
+
+import json
+import os
+
+import numpy as np
+
+from acoustic_image_generation_tpu.data.stats import (
+    compute_spectrogram_stats,
+    load_stats,
+    normalize_spectrogram,
+    save_stats,
+)
+from acoustic_image_generation_tpu.evaluation.overlay import save_overlay_grid
+from acoustic_image_generation_tpu.evaluation.plots import save_channel_grid
+from acoustic_image_generation_tpu.utils.logger import Logger
+from acoustic_image_generation_tpu.utils.profiling import StepTimer
+
+
+def test_logger_scalars_images_audio(tmp_path):
+    log = Logger(str(tmp_path))
+    log.log_scalar("loss", 0.5, step=1)
+    log.log_scalars({"mse": 0.1, "huber": 0.2}, step=2)
+    log.log_histogram("weights", np.random.default_rng(0).normal(size=100), step=2)
+    img_path = log.log_image("recon", np.random.default_rng(1).random((36, 48)), step=3, cmap="viridis")
+    wav_path = log.log_sound("mic", np.sin(np.linspace(0, 100, 12288)), step=3)
+    assert os.path.exists(img_path) and os.path.exists(wav_path)
+    records = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert any("loss" in r for r in records)
+    assert any("weights/mean" in r for r in records)
+
+
+def test_channel_grid_and_overlay(tmp_path):
+    rng = np.random.default_rng(0)
+    real = rng.random((36, 48, 12)).astype(np.float32)
+    gen = rng.random((36, 48, 12)).astype(np.float32)
+    p1 = save_channel_grid(str(tmp_path / "grid.png"), real, gen)
+    p2 = save_overlay_grid(
+        str(tmp_path / "overlay.png"),
+        rng.random((224, 298, 3)).astype(np.float32),
+        rng.random((36, 48)) > 0.5,
+        rng.random((36, 48)) > 0.5,
+    )
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_spectrogram_stats_roundtrip(tmp_path):
+    from acoustic_image_generation_tpu.data.pipeline import RawBatch
+
+    rng = np.random.default_rng(2)
+
+    class FakeLoader:
+        def batches(self, epoch):
+            for s in range(2):
+                yield RawBatch(
+                    acoustic=np.zeros((2, 12, 36, 48, 12), np.float32),
+                    audio=rng.integers(-3000, 3000, (2, 12, 1024)).astype(np.int32),
+                    video=np.zeros((2, 12, 2, 2, 3), np.uint8),
+                    action=np.zeros(2, np.int32),
+                    location=np.zeros(2, np.int32),
+                    valid=2,
+                )
+
+    mean, std = compute_spectrogram_stats(FakeLoader())
+    assert mean.shape == (99, 257) and std.shape == (99, 257)
+    assert np.all(std > 0)
+    save_stats(str(tmp_path / "stats2s"), mean, std)
+    m2, s2 = load_stats(str(tmp_path / "stats2s"))
+    np.testing.assert_array_equal(mean, m2)
+    import jax.numpy as jnp
+
+    z = normalize_spectrogram(jnp.asarray(np.ones((1, 99, 257), np.float32)), m2, s2)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_step_timer():
+    t = StepTimer(clips_per_step=8, warmup=1)
+    for _ in range(3):
+        t.step()
+    assert t.steps_timed == 2
+    assert t.clips_per_sec >= 0
