@@ -68,19 +68,27 @@ def preprocess_batch(
     *,
     lowpass_on_device: bool = True,
     filtered_audio: jnp.ndarray | None = None,
+    compute_filtered: bool = True,
 ) -> Batch:
-    """Raw decoded frames -> model-ready batch. Jit-friendly (static shapes)."""
+    """Raw decoded frames -> model-ready batch. Jit-friendly (static shapes).
+
+    ``compute_filtered=False`` skips the Butterworth "silence" branch (a
+    1024-step sequential IIR scan) — it only feeds the correspondence
+    augmentation and the Flickr ``filtered`` output, so recipes that use
+    neither shouldn't pay for it."""
     wav = audio_raw.astype(jnp.float32)
-    if filtered_audio is None:
-        if lowpass_on_device:
+    coeffs = mfcc_from_frames(wav)
+
+    if compute_filtered:
+        if filtered_audio is not None:
+            filtered = filtered_audio.astype(jnp.float32)
+        elif lowpass_on_device:
             filtered = iir.filtfilt_jax(wav)
         else:
             raise ValueError("filtered_audio required when lowpass_on_device=False")
+        filtered_coeffs = normalize_mfcc(mfcc_from_frames(filtered))
     else:
-        filtered = filtered_audio.astype(jnp.float32)
-
-    coeffs = mfcc_from_frames(wav)
-    filtered_coeffs = mfcc_from_frames(filtered)
+        filtered_coeffs = jnp.zeros_like(coeffs)
 
     return Batch(
         acoustic=normalize_acoustic(acoustic_raw),
@@ -89,7 +97,7 @@ def preprocess_batch(
         video=normalize_video(video_raw),
         action=action.astype(jnp.int32),
         location=location.astype(jnp.int32),
-        filtered_mfcc=normalize_mfcc(filtered_coeffs),
+        filtered_mfcc=filtered_coeffs,
     )
 
 

@@ -83,6 +83,7 @@ class Trainer:
             flat(raw["video"]),
             jnp.repeat(raw["action"], f),
             jnp.repeat(raw["location"], f),
+            compute_filtered=self.cfg.data.correspondence,
         )
         if self.cfg.data.correspondence:
             if self.cfg.data.correspondence_video:

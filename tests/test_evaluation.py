@@ -113,3 +113,24 @@ def test_trimmed_mean_std():
     mean, std = trimmed_mean_std(vals)
     assert mean == pytest.approx(3.0)
     assert std == pytest.approx(np.std([2.0, 3.0, 4.0]))
+
+
+def test_export_knn_retrieve_integration(tmp_path):
+    """extract -> knn/retrieve protocol round trip on synthetic latents."""
+    from acoustic_image_generation_tpu.evaluation.export import (
+        export_features,
+        load_features,
+    )
+
+    feats = rng.normal(size=(30, 150)).astype(np.float32)
+    labels = rng.integers(0, 3, 30)
+    scen = rng.integers(0, 5, 30)
+    d = export_features(str(tmp_path), "testing", "acoustic", 7, feats, labels, scen, 3, 5)
+    x, y, s = load_features(d, "testing")
+    np.testing.assert_array_equal(x, feats)
+    np.testing.assert_array_equal(y, labels)
+    np.testing.assert_array_equal(s, scen)
+    acc = knn_accuracy(x, y, x, y, k=1)
+    assert acc == 1.0  # self-retrieval with k=1 is perfect
+    ranks = retrieval_ranks(x, y, x, y, num_classes=3)
+    assert ranks["rank1"] == 1.0
