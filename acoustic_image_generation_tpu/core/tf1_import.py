@@ -79,6 +79,15 @@ def import_scope(
         parent = parts[:-1]
         # resnet blockN/unit_M/bottleneck_v1/... -> blockN_unit_M/...
         parent = _normalize_resnet(parent)
+        # tf.layers default scopes of the UNet zoo -> our module names:
+        # the VAE head convs live in a "vae" submodule, the unnamed decoder
+        # conv ("conv2d") is "conv_dec"
+        if parent == ["mean"] or parent == ["std"]:
+            parent = ["vae", parent[0]]
+        elif parent == ["conv2d"]:
+            parent = ["conv_dec"]
+        elif parent == ["variance"]:
+            parent = ["var_conv"]
         if leaf == "kernel":
             if parent and parent[-1].startswith("upsample"):
                 value = np.transpose(value, (0, 1, 3, 2))  # (kh,kw,out,in)->HWIO

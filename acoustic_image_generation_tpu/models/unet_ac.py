@@ -127,9 +127,9 @@ class UNetAcResNet(nn.Module):
         resnet_feature = layers.minmax_norm(resnet_feature, axes=(1, 2, 3))
         conv2 = jnp.concatenate([conv2, resnet_feature.astype(conv2.dtype)], axis=-1)
 
-        z, mean, std = VaeHead(self.latent_dim, embedding=self.embedding, dtype=dt)(
-            conv2, sample=sample
-        )
+        z, mean, std = VaeHead(
+            self.latent_dim, embedding=self.embedding, dtype=dt, name="vae"
+        )(conv2, sample=sample)
 
         net = nn.relu(layers.dense(12 * 16 * 12, name="dense", dtype=dt)(z))
         net = net.reshape(-1, 12, 16, 12)

@@ -1,0 +1,134 @@
+"""Checkpoint-level numerical parity of the flagship generator.
+
+Builds the AAAI'21 UNetAcRes (1-skip) computation in TensorFlow v1 API
+(fresh construction from the architecture spec — conv/conv/stride-3-pool
+encoder, min-max normalized feature concat, (12,16)-VALID mean head,
+dense/conv decoder, kernel-2/stride-3 VALID deconv, skip concat, sigmoid),
+saves its randomly initialized variables as a TF1 checkpoint, imports them
+with ``core.tf1_import``, and checks our flax model reproduces TF's forward
+output on the same inputs. This is the "emit bit-comparable tensors vs
+reference checkpoints" contract of BASELINE.md, with the latent noise
+zeroed on both sides (z = mean)."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+
+from acoustic_image_generation_tpu.core.tf1_import import (  # noqa: E402
+    import_scope,
+    load_tf1_checkpoint,
+    merge_into,
+)
+from acoustic_image_generation_tpu.models import UNetAcResNet  # noqa: E402
+
+v1 = tf.compat.v1
+
+
+def _conv2d(x, filters, ksize, name, strides=(1, 1), padding="SAME"):
+    """tf.layers.conv2d equivalent via raw ops (Keras 3 removed v1.layers):
+    glorot-uniform "kernel" + zero "bias" under the layer's scope."""
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [*ksize, int(x.shape[-1]), filters],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [filters], initializer=tf.zeros_initializer())
+        return tf.nn.conv2d(x, k, strides=[1, *strides, 1], padding=padding) + b
+
+
+def _dense(x, units, name="dense"):
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [int(x.shape[-1]), units],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [units], initializer=tf.zeros_initializer())
+        return tf.matmul(x, k) + b
+
+
+def _deconv(x, filters, ksize, strides, name):
+    """tf.layers.conv2d_transpose equivalent (VALID): kernel stored
+    (kh, kw, out, in) like TF layers."""
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [ksize, ksize, filters, int(x.shape[-1])],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [filters], initializer=tf.zeros_initializer())
+        out_h = int(x.shape[1]) * strides + max(ksize - strides, 0)
+        out_w = int(x.shape[2]) * strides + max(ksize - strides, 0)
+        y = tf.nn.conv2d_transpose(
+            x, k, output_shape=[tf.shape(x)[0], out_h, out_w, filters],
+            strides=[1, strides, strides, 1], padding="VALID",
+        )
+        return y + b
+
+
+def _conv_conv_pool(net, filters, name, pool=False):
+    with v1.variable_scope(f"layer{name}"):
+        for i in range(2):
+            net = tf.nn.relu(_conv2d(net, filters, (3, 3), f"conv_{i + 1}"))
+        if not pool:
+            return net
+        p = _conv2d(net, filters, (3, 3), "pool_2", strides=(3, 3))
+        return net, tf.nn.relu(p)
+
+
+def _minmax(x):
+    x = x - tf.reduce_min(x, axis=[1, 2, 3], keepdims=True)
+    return x / tf.reduce_max(x, axis=[1, 2, 3], keepdims=True)
+
+
+def _build_tf_unet_acres(mfccmap, feat):
+    with v1.variable_scope("UNetAcRes"):
+        conv1, pool1 = _conv_conv_pool(mfccmap, 128, "1", pool=True)
+        conv2_0 = _conv_conv_pool(pool1, 133, "2")
+        conv2 = tf.concat([_minmax(conv2_0), _minmax(feat)], axis=-1)
+        mean = _conv2d(conv2, 150, (12, 16), "mean", padding="VALID")
+        mean = tf.reshape(mean, (-1, 150))
+        # std head exists in the checkpoint but z = mean for the parity run
+        _ = _conv2d(conv2, 150, (12, 16), "std", padding="VALID")
+        net = tf.nn.relu(_dense(mean, 12 * 16 * 12))
+        net = tf.reshape(net, (-1, 12, 16, 12))
+        net = tf.nn.relu(_conv2d(net, 133, (3, 3), "conv2d"))
+        conv4 = _conv_conv_pool(net, 128, "4")
+        conv5 = _conv_conv_pool(conv4, 128, "5")
+        up1 = _deconv(conv5, 128, 2, 3, "upsample_1")
+        up1 = tf.concat([up1, conv1], axis=-1)
+        conv6 = _conv_conv_pool(up1, 128, "6")
+        conv7 = _conv_conv_pool(conv6, 64, "7")
+        out = tf.sigmoid(_conv2d(conv7, 12, (3, 3), "final"))
+    return out
+
+
+@pytest.mark.slow
+def test_flagship_generator_matches_tf_checkpoint(tmp_path):
+    rng = np.random.default_rng(0)
+    mfccmap_np = rng.random((2, 36, 48, 12)).astype(np.float32)
+    feat_np = rng.random((2, 12, 16, 12)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetacres.ckpt")
+    with tf.Graph().as_default():
+        mfccmap = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        feat = v1.placeholder(tf.float32, (None, 12, 16, 12))
+        out = _build_tf_unet_acres(mfccmap, feat)
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {mfccmap: mfccmap_np, feat: feat_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "UNetAcRes")
+
+    model = UNetAcResNet(skips=1)
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)},
+        mfccmap_np[:1], feat_np[:1],
+    )
+    merged = merge_into(variables["params"], params, strict=True)
+    got = model.apply({"params": merged}, mfccmap_np, feat_np, sample=False)
+
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
