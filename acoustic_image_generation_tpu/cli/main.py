@@ -227,11 +227,22 @@ def main(argv=None) -> int:
         valid_loader = make_loader(config, "validation")
         assert train_loader is not None and valid_loader is not None
         state = None
-        if config.run.restore_checkpoint:
+        run = config.run
+        needs_init = run.restore_checkpoint or run.init_checkpoint or any(
+            (run.visual_init_checkpoint, run.acoustic_init_checkpoint,
+             run.audio_init_checkpoint)
+        )
+        if needs_init:
+            from acoustic_image_generation_tpu.train.warmstart import (
+                apply_init_checkpoints,
+            )
+
             for first in train_loader.batches(0):
                 break
-            template = trainer.init_state(first)
-            state = trainer.restore(config.run.restore_checkpoint, template)
+            state = trainer.init_state(first)
+            if run.restore_checkpoint:  # full resume (params + Adam + step)
+                state = trainer.restore(run.restore_checkpoint, state)
+            state = apply_init_checkpoints(state, config)
         trainer.fit(train_loader, valid_loader, state=state)
     else:
         test_loader = make_loader(config, "testing")
