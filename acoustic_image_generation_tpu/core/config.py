@@ -45,6 +45,9 @@ class DataConfig:
     modalities: tuple[int, ...] = (0, 1, 2)
     num_io_threads: int = 8
     prefetch_batches: int = 2
+    # use the fused Pallas MFCC kernel (ops/pallas_mfcc) instead of the
+    # jnp reference frontend inside the jitted step (TPU only)
+    pallas_mfcc: bool = False
 
     @property
     def nr_frames(self) -> int:

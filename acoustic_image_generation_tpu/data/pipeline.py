@@ -87,8 +87,8 @@ class AcousticImageDataLoader:
 
         self.include_boxes = include_boxes
         self.extra_context = tuple(include_extras)
-        if include_boxes:
-            use_native = False  # boxes only flow through the Python decoder
+        if include_boxes or self.extra_context:
+            use_native = False  # extras only flow through the Python decoder
         if use_native is None:
             from acoustic_image_generation_tpu.data import native
 

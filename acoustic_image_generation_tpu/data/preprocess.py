@@ -69,6 +69,7 @@ def preprocess_batch(
     lowpass_on_device: bool = True,
     filtered_audio: jnp.ndarray | None = None,
     compute_filtered: bool = True,
+    use_pallas_mfcc: bool = False,
 ) -> Batch:
     """Raw decoded frames -> model-ready batch. Jit-friendly (static shapes).
 
@@ -77,7 +78,13 @@ def preprocess_batch(
     augmentation and the Flickr ``filtered`` output, so recipes that use
     neither shouldn't pay for it."""
     wav = audio_raw.astype(jnp.float32)
-    coeffs = mfcc_from_frames(wav)
+    if use_pallas_mfcc:
+        from acoustic_image_generation_tpu.ops.pallas_mfcc import mfcc_pallas
+
+        _mfcc = mfcc_pallas
+    else:
+        _mfcc = mfcc_from_frames
+    coeffs = _mfcc(wav)
 
     if compute_filtered:
         if filtered_audio is not None:
@@ -86,7 +93,7 @@ def preprocess_batch(
             filtered = iir.filtfilt_jax(wav)
         else:
             raise ValueError("filtered_audio required when lowpass_on_device=False")
-        filtered_coeffs = normalize_mfcc(mfcc_from_frames(filtered))
+        filtered_coeffs = normalize_mfcc(_mfcc(filtered))
     else:
         filtered_coeffs = jnp.zeros_like(coeffs)
 

@@ -125,3 +125,22 @@ class GenerationTask:
         for i in range(4):
             losses[f"mse{i}"] = jnp.mean(err[..., 3 * i : 3 * i + 3], axis=(1, 2, 3))
         return losses, recon
+
+    # ------------------------------------------------------------ inference
+
+    def generate(self, params, batch_stats, mfcc, video, key):
+        """Serving path: (mfcc (N,12), video (N,224,298,3) in [0,1]) ->
+        generated acoustic images (N,36,48,C). Jit this once and feed
+        batches; eval-mode BN, latent sampled like the reference does at
+        test time (no eval switch on tf.random_normal)."""
+        batch = Batch(
+            acoustic=jnp.zeros((mfcc.shape[0], 36, 48, self.cfg.data.num_channels)),
+            audio=jnp.zeros((mfcc.shape[0], 1024)),
+            mfcc=mfcc,
+            video=video,
+            action=jnp.zeros((mfcc.shape[0],), jnp.int32),
+            location=jnp.zeros((mfcc.shape[0],), jnp.int32),
+            filtered_mfcc=jnp.zeros_like(mfcc),
+        )
+        out, _ = self._forward(params, batch_stats, batch, {"latent": key}, train=False)
+        return out.output.astype(jnp.float32)

@@ -84,6 +84,7 @@ class Trainer:
             jnp.repeat(raw["action"], f),
             jnp.repeat(raw["location"], f),
             compute_filtered=self.cfg.data.correspondence,
+            use_pallas_mfcc=self.cfg.data.pallas_mfcc,
         )
         if self.cfg.data.correspondence:
             if self.cfg.data.correspondence_video:
@@ -199,11 +200,19 @@ class Trainer:
             t0 = time.time()
             n_steps = 0
             last_metrics: dict = {}
-            for raw_batch in train_loader.batches(epoch):
-                state, metrics = self.train_step(state, raw_batch)
-                n_steps += 1
-                if n_steps % max(cfg.run.display_freq, 1) == 0:
-                    last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            try:
+                for raw_batch in train_loader.batches(epoch):
+                    state, metrics = self.train_step(state, raw_batch)
+                    n_steps += 1
+                    if n_steps % max(cfg.run.display_freq, 1) == 0:
+                        last_metrics = {
+                            k: float(v) for k, v in jax.device_get(metrics).items()
+                        }
+            except (KeyboardInterrupt, Exception):
+                # failure containment (SURVEY.md §5: the reference has none):
+                # persist the live state so the run is resumable, then re-raise
+                ckpt.save_checkpoint(self.run_dir, f"interrupted_{epoch}", state)
+                raise
             dt = time.time() - t0
             val = self.evaluate(state, valid_loader, epoch)
             val_loss = val[self.task.eval_metric]

@@ -40,6 +40,7 @@ def main() -> None:
 
     import os  # noqa: PLC0415
     clips = int(os.environ.get("AIG_BENCH_CLIPS", "16"))
+    mode = os.environ.get("AIG_BENCH_MODE", "train")  # train | infer
     frames = 12 * clips
     rng = np.random.default_rng(0)
     acoustic = rng.random((frames, 36, 48, 12), dtype=np.float32)
@@ -94,6 +95,47 @@ def main() -> None:
     args = (
         jnp.asarray(acoustic), jnp.asarray(audio), jnp.asarray(video), jnp.asarray(action),
     )
+
+    if mode == "infer":
+        # forward-only serving throughput: mfcc + video -> acoustic image
+        from acoustic_image_generation_tpu.data.preprocess import (
+            normalize_mfcc,
+            normalize_video,
+        )
+        from acoustic_image_generation_tpu.dsp.mfcc import mfcc_from_frames
+
+        @jax.jit
+        def serve(params, batch_stats, audio, video, key):
+            mfcc = normalize_mfcc(mfcc_from_frames(audio.astype(jnp.float32)))
+            vid = normalize_video(video)
+            feat = resnet.apply(
+                {"params": params["resnet"], "batch_stats": batch_stats},
+                vid, train=False,
+            )
+            out = generator.apply(
+                {"params": params["generator"]}, tile_mfccmap(mfcc), feat,
+                rngs={"latent": key},
+            )
+            return out.output
+
+        out = serve(params, batch_stats, args[1], args[2], jax.random.key(0))
+        float(jnp.sum(out))
+        n_steps = int(os.environ.get("AIG_BENCH_STEPS", "10"))
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for i in range(n_steps):
+            out = serve(params, batch_stats, args[1], args[2], jax.random.key(i))
+            acc = acc + out[0, 0, 0, 0]  # chain a data dependency across steps
+        float(acc)
+        dt = time.perf_counter() - t0
+        clips_per_sec = n_steps * (frames / 12) / dt
+        print(json.dumps({
+            "metric": "generation_infer_clips_per_sec_chip",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4),
+        }))
+        return
 
     # warmup (compile + 2 steady steps); fetching the loss VALUE forces
     # real execution — on a tunneled TPU, block_until_ready alone returns

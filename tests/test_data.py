@@ -225,3 +225,74 @@ def test_correspondence_shuffle_labels():
     # must be >= n (the aligned half always matches).
     assert labels.sum() >= n
     assert set(np.unique(labels)) <= {0, 1}
+
+
+def test_music_datakind_13_channels_no_flip(tmp_path):
+    """AVIA/music: 13 channels, no parse-time flips (outdoor_data.py:46-49,
+    :400-401)."""
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    lists = write_synthetic_dataset(
+        str(tmp_path), num_classes=2, videos_per_class=1, seconds_per_video=1,
+        num_channels=13,
+    )
+    loader = AcousticImageDataLoader(
+        lists["testing"], "testing", 2, datakind="music", num_channels=13
+    )
+    batch = next(iter(loader.batches(0)))
+    assert batch.acoustic.shape[-1] == 13
+    # no flip: decode matches raw bytes
+    from acoustic_image_generation_tpu.data.schema import decode_record
+    from acoustic_image_generation_tpu.data.tfrecord import read_records
+
+    with open(lists["testing"]) as f:
+        path = f.readline().strip()
+    rec = decode_record(read_records(path)[0], datakind="music", num_channels=13)
+    np.testing.assert_array_equal(batch.acoustic[0, :12], rec.acoustic)
+
+
+def test_event_and_classnumber_extras(tmp_path):
+    """AVE event / 2-object classnumber context features flow through the
+    loader (eventloader.py:262-264, framesclass.py:247-248)."""
+    import os
+
+    from acoustic_image_generation_tpu.data.convert import make_second_example
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.tfrecord import write_records
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "ave" / "data_001"
+    os.makedirs(d)
+    for s in range(2):
+        payload = make_second_example(
+            classes=1, location=1,
+            audio=rng.integers(-100, 100, (12, 1024)).astype(np.int32),
+            video=rng.integers(0, 255, (12, 224, 298, 3)).astype(np.uint8),
+            acoustic=np.zeros((12, 36, 48, 12), np.float32),
+            event=5, classnumber=2,
+        )
+        write_records(str(d / f"Data_{s + 1:03d}.tfrecord"), [payload])
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(str(d / f"Data_{s + 1:03d}.tfrecord") for s in range(2)))
+    loader = AcousticImageDataLoader(
+        str(lst), "testing", 2, include_extras=("event", "classnumber")
+    )
+    batch = next(iter(loader.batches(0)))
+    np.testing.assert_array_equal(batch.extras["event"], [5, 5])
+    np.testing.assert_array_equal(batch.extras["classnumber"], [2, 2])
+
+
+def test_audio_only_loading(tmp_path):
+    """TUT/DCASE-style audio-only datasets (tut_data.py): modalities=(1,)."""
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    lists = write_synthetic_dataset(
+        str(tmp_path), num_classes=2, videos_per_class=1, seconds_per_video=1
+    )
+    loader = AcousticImageDataLoader(lists["testing"], "testing", 2, modalities=(1,))
+    batch = next(iter(loader.batches(0)))
+    assert np.any(batch.audio != 0)
+    assert not np.any(batch.acoustic)  # skipped modality stays zero
+    assert not np.any(batch.video)
