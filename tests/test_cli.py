@@ -1,0 +1,87 @@
+"""CLI flag surface: parse reference-style flag sets and check the trainer
+dispatch matches main.py's (``/root/reference/main.py:175-240, 286-323``)."""
+
+import pytest
+
+from acoustic_image_generation_tpu.cli.main import (
+    build_parser,
+    config_from_args,
+    select_task,
+)
+
+
+def parse(argv):
+    return config_from_args(build_parser().parse_args(argv))
+
+
+def test_flagship_generation_dispatch():
+    cfg = parse(["--mode", "train", "--embedding", "1", "--mfcc", "1",
+                 "--num_skip_conn", "2", "--ae", "1", "--latent_loss", "1e-5"])
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+
+    task = select_task(cfg)
+    assert isinstance(task, GenerationTask)
+    assert task.generator.skips == 2
+    assert task.generator.embedding is True
+    assert cfg.optim.latent_loss == pytest.approx(1e-5)
+
+
+def test_embed_and_proxy_dispatch():
+    from acoustic_image_generation_tpu.train.embed import EmbedTask
+
+    assert isinstance(select_task(parse(["--embedding", "1"])), EmbedTask)
+    task = select_task(parse(["--embedding", "1", "--proxy", "1"]))
+    assert isinstance(task, EmbedTask) and task.cfg.model.proxy
+
+
+def test_project_and_joint_dispatch():
+    from acoustic_image_generation_tpu.train.joint import JointTask
+    from acoustic_image_generation_tpu.train.project import ProjectTask
+
+    assert isinstance(
+        select_task(parse(["--embedding", "1", "--project", "1"])), ProjectTask
+    )
+    assert isinstance(
+        select_task(parse(["--embedding", "1", "--jointmvae", "1", "--onlyaudiovideo", "1"])),
+        JointTask,
+    )
+
+
+def test_reconstruct_and_classify_dispatch():
+    from acoustic_image_generation_tpu.train.classify import (
+        ClassificationTask,
+        GeneratedClassificationTask,
+    )
+    from acoustic_image_generation_tpu.train.reconstruct import ReconstructTask
+
+    assert isinstance(select_task(parse(["--model", "UNet", "--encoder_type", "Ac"])), ReconstructTask)
+    assert isinstance(
+        select_task(parse(["--model", "DualCamNet", "--mfcc", "1"])), ClassificationTask
+    )
+    assert isinstance(
+        select_task(parse(["--model", "DualCamNet", "--mfcc", "0",
+                           "--datatype", "old"])),
+        GeneratedClassificationTask,
+    )
+
+
+def test_datatype_properties():
+    cfg = parse(["--datatype", "music"])
+    assert cfg.data.num_classes == 9
+    assert cfg.data.num_channels == 13
+    cfg = parse(["--datatype", "old"])
+    assert cfg.data.num_classes == 14
+    assert cfg.data.num_locations == 3
+
+
+def test_config_roundtrip(tmp_path):
+    from acoustic_image_generation_tpu.core.config import ExperimentConfig
+
+    cfg = parse(["--embedding", "1", "--mfcc", "1", "--batch_size", "64",
+                 "--compute_dtype", "bfloat16"])
+    path = str(tmp_path / "configuration.txt")
+    cfg.save(path)
+    loaded = ExperimentConfig.load(path)
+    assert loaded.data.batch_size == 64
+    assert loaded.parallel.compute_dtype == "bfloat16"
+    assert loaded.model.mfcc is True
