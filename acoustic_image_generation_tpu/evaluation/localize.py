@@ -33,9 +33,7 @@ def run_iou_sweep(task, state, loader, run_dir: str | None = None, *, seed: int 
             flat(raw["acoustic"]), flat(raw["audio"]), flat(raw["video"]),
             jnp.repeat(raw["action"], f), jnp.repeat(raw["location"], f),
         )
-        out, _ = task._forward(
-            state.params, batch_stats, batch, {"latent": key}, train=False
-        )
+        out, _ = task._forward(params, batch_stats, batch, {"latent": key}, train=False)
         return iou_mod.iou_real_vs_generated(batch.acoustic, out.output)
 
     ious = []

@@ -20,16 +20,14 @@ def run_box_iou_sweep(task, state, loader, run_dir: str | None = None, *, seed: 
     RawBatches with box extras (``include_boxes=True``)."""
 
     @jax.jit
-    def step(raw, boxes, key):
+    def step(params, batch_stats, raw, boxes, key):
         f = raw["acoustic"].shape[1]
         flat = lambda x: x.reshape(-1, *x.shape[2:])
         batch = preprocess.preprocess_batch(
             flat(raw["acoustic"]), flat(raw["audio"]), flat(raw["video"]),
             jnp.repeat(raw["action"], f), jnp.repeat(raw["location"], f),
         )
-        out, _ = task._forward(
-            state.params, state.batch_stats, batch, {"latent": key}, train=False
-        )
+        out, _ = task._forward(params, batch_stats, batch, {"latent": key}, train=False)
         box_map = render_box_map(
             flat(boxes["xmin"]), flat(boxes["xmax"]),
             flat(boxes["ymin"]), flat(boxes["ymax"]),
@@ -48,7 +46,9 @@ def run_box_iou_sweep(task, state, loader, run_dir: str | None = None, *, seed: 
         }
         boxes = {k: raw_batch.extras[k] for k in ("xmin", "xmax", "ymin", "ymax")}
         key = jax.random.fold_in(jax.random.key(seed), i)
-        vec = np.asarray(jax.device_get(step(raw, boxes, key)))
+        vec = np.asarray(
+            jax.device_get(step(state.params, state.batch_stats, raw, boxes, key))
+        )
         f = raw_batch.acoustic.shape[1]
         ious.append(vec[: raw_batch.valid * f])
     ious = np.concatenate(ious) if ious else np.zeros((0,))

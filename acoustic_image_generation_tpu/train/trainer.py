@@ -28,11 +28,9 @@ from __future__ import annotations
 import os
 import time
 from datetime import datetime
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from acoustic_image_generation_tpu.core import rng as rng_mod

@@ -18,7 +18,6 @@ import os
 
 import flax.serialization
 import jax
-import numpy as np
 
 from acoustic_image_generation_tpu.core import tf1_import
 from acoustic_image_generation_tpu.core.config import ExperimentConfig
