@@ -166,6 +166,83 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Raw capture directories -> TFRecord shards + list files
+    (convert_data.py protocol)."""
+    import glob as globmod
+
+    from acoustic_image_generation_tpu.data.convert import (
+        convert_capture_dir,
+        write_list_files,
+    )
+
+    all_shards = []
+    for raw_dir in sorted(globmod.glob(os.path.join(args.root_raw_dir, "class_*", "data_*"))):
+        parts = raw_dir.rstrip("/").split("/")
+        classes = int(parts[-2].split("_")[1])
+        location = int(parts[-1].split("_")[1])
+        shards = convert_capture_dir(
+            raw_dir, args.out_dir, classes=classes, location=location,
+            modalities=tuple(args.modalities),
+        )
+        all_shards.extend(shards)
+        print(f"{raw_dir}: {len(shards)} shards")
+    lists = write_list_files(args.out_dir, all_shards)
+    print(json.dumps(lists))
+    return 0
+
+
+def cmd_show(args) -> int:
+    """Qualitative energy overlays + channel grids of a generation
+    checkpoint over the test split (showimages.py / decodeimages.py
+    capability)."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser as main_parser,
+        config_from_args,
+        make_loader,
+        select_task,
+    )
+    from acoustic_image_generation_tpu.evaluation.iou import energy_mask
+    from acoustic_image_generation_tpu.evaluation.overlay import save_overlay_grid
+    from acoustic_image_generation_tpu.evaluation.plots import save_channel_grid
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = main_parser().parse_args(args.train_flags)
+    config = config_from_args(main_args)
+    task = select_task(config)
+    trainer = Trainer(task, config)
+    loader = make_loader(config, "testing")
+    for first in loader.batches(0):
+        break
+    state = jax.device_get(trainer.init_state(first))
+    state = trainer.restore(args.checkpoint, state)
+
+    raw = trainer.device_batch(first)
+    batch = jax.jit(trainer._prepare)(raw)
+    out, _ = jax.jit(
+        lambda p, b, bt, k: task._forward(p, bt, b, {"latent": k}, train=False)
+    )(state.params, batch, state.batch_stats, jax.random.key(0))
+    real = np.asarray(batch.acoustic)
+    gen = np.asarray(out.output, dtype=np.float32)
+    video = np.asarray(batch.video)
+    real_masks = np.asarray(energy_mask(real))
+    gen_masks = np.asarray(energy_mask(gen))
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = min(args.num_images, real.shape[0])
+    for h in range(n):
+        save_overlay_grid(
+            os.path.join(args.out_dir, f"overlay_{h}.png"),
+            video[h], real_masks[h], gen_masks[h],
+        )
+        save_channel_grid(
+            os.path.join(args.out_dir, f"channels_{h}.png"), real[h], gen[h]
+        )
+    print(f"wrote {2 * n} images to {args.out_dir}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aig-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +275,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("files", nargs="+")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_aggregate)
+
+    s = sub.add_parser("convert", help="raw captures -> TFRecord shards")
+    s.add_argument("root_raw_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--modalities", nargs="*", type=int, default=[1, 2])
+    s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("show", help="energy overlay + channel-grid renders")
+    s.add_argument("checkpoint")
+    s.add_argument("out_dir")
+    s.add_argument("--num_images", type=int, default=4)
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_show)
 
     s = sub.add_parser("extract", help="export latents for knn/retrieval")
     s.add_argument("checkpoint")

@@ -132,3 +132,70 @@ def test_flagship_generator_matches_tf_checkpoint(tmp_path):
     got = model.apply({"params": merged}, mfccmap_np, feat_np, sample=False)
 
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+def _base_conv3d(x, cout, name):
+    """base.build3DConvolution: 12x1x1 temporal conv, trunc-normal(0.01)."""
+    with v1.variable_scope(name):
+        w = v1.get_variable(
+            "weights", [12, 1, 1, int(x.shape[-1]), cout],
+            initializer=v1.truncated_normal_initializer(0.0, 0.01),
+        )
+        b = v1.get_variable("biases", [cout], initializer=tf.zeros_initializer())
+        return tf.nn.conv3d(x, w, strides=[1] * 5, padding="SAME") + b
+
+
+def _base_conv2d(x, cout, k, name):
+    with v1.variable_scope(name):
+        w = v1.get_variable(
+            "weights", [k, k, int(x.shape[-1]), cout],
+            initializer=v1.truncated_normal_initializer(0.0, 0.01),
+        )
+        b = v1.get_variable("biases", [cout], initializer=tf.zeros_initializer())
+        return tf.nn.conv2d(x, w, strides=[1, 1, 1, 1], padding="SAME") + b
+
+
+def _base_fc(x, cout, name):
+    with v1.variable_scope(name):
+        w = v1.get_variable(
+            "weights", [int(x.shape[-1]), cout],
+            initializer=v1.truncated_normal_initializer(0.0, 0.01),
+        )
+        b = v1.get_variable("biases", [cout], initializer=tf.zeros_initializer())
+        return tf.matmul(x, w) + b
+
+
+@pytest.mark.slow
+def test_dualcamnet_matches_tf_checkpoint(tmp_path):
+    """DualCamNet forward parity (dualcamnet.py:75-121 semantics: temporal
+    conv3d, 5x5 convs, VALID 3/3 max-pool, spatial sum-pool, FCs)."""
+    rng = np.random.default_rng(1)
+    x_np = rng.random((24, 36, 48, 12)).astype(np.float32)  # 2 clips x 12 frames
+
+    ckpt_path = str(tmp_path / "dualcamnet.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        with v1.variable_scope("DualCamNet"):
+            net = tf.reshape(x, (-1, 12, 36, 48, 12))
+            net = tf.nn.relu(_base_conv3d(net, 12, "conv1"))
+            net = tf.reshape(net, (-1, 36, 48, 12))
+            net = tf.nn.relu(_base_conv2d(net, 32, 5, "conv2"))
+            net = tf.nn.max_pool2d(net, 3, 3, "VALID")
+            net = tf.nn.relu(_base_conv2d(net, 128, 5, "conv3"))
+            net = tf.reduce_sum(net, axis=[1, 2])
+            net = tf.nn.relu(_base_fc(net, 1000, "full1"))
+            logits = _base_fc(net, 10, "full3")
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_logits = sess.run(logits, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import DualCamNet
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "DualCamNet")
+    model = DualCamNet(num_classes=10)
+    variables = model.init({"params": jax.random.key(0)}, x_np)
+    merged = merge_into(variables["params"], params, strict=True)
+    got = np.asarray(model.apply({"params": merged}, x_np))
+    np.testing.assert_allclose(got, tf_logits, rtol=2e-4, atol=2e-3)
