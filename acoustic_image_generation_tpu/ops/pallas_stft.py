@@ -1,0 +1,97 @@
+"""Fused Pallas TPU kernel for the STFT magnitude frontend.
+
+Companion of ``ops/pallas_mfcc.py`` for the embed/project/joint recipes'
+per-second spectrograms (``dsp/spectrogram.py`` semantics: hann-periodic
+246-sample window, hop 122, rFFT 512, |.|): per second of audio, the 99
+frames are gathered in-kernel and the rFFT is two MXU matmuls against
+windowed cos/sin bases — a small fixed-size DFT wants to be a GEMM on TPU,
+not a radix FFT.
+
+Layout: one grid step processes TILE seconds; the (12288,) second is
+framed into (99, 246) with a static gather, padded to (99, 256) lanes is
+unnecessary — the matmul contracts over 246 directly.
+
+VMEM per tile (TILE=16 seconds, f32): audio 0.8 MB, frames 1.5 MB, bases
+2x 0.25 MB, outputs 2x1.6 MB — comfortably under budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acoustic_image_generation_tpu.dsp import spectrogram as spec_mod
+
+TILE = 16
+SECONDS_SAMPLES = 12 * 1024
+NFRAMES = 1 + (SECONDS_SAMPLES - spec_mod.FRAME_LENGTH) // spec_mod.FRAME_STEP  # 99
+NBINS = spec_mod.FFT_LENGTH // 2 + 1  # 257
+
+
+@functools.cache
+def _constants():
+    window = spec_mod.hann_periodic()
+    n = spec_mod.FRAME_LENGTH
+    k = np.arange(n)[:, None] * np.arange(NBINS)[None, :] * (
+        2.0 * np.pi / spec_mod.FFT_LENGTH
+    )
+    cos_b = np.cos(k) * window[:, None]  # (246, 257), window folded in
+    sin_b = -np.sin(k) * window[:, None]
+    idx = (
+        np.arange(spec_mod.FRAME_LENGTH)[None, :]
+        + spec_mod.FRAME_STEP * np.arange(NFRAMES)[:, None]
+    )
+    return (
+        jnp.asarray(cos_b, jnp.float32),
+        jnp.asarray(sin_b, jnp.float32),
+        jnp.asarray(idx, jnp.int32),
+    )
+
+
+def _kernel(wav_ref, cos_ref, sin_ref, idx_ref, out_ref):
+    # wav: (TILE, 12288) -> frames: (TILE, 99, 246) via static gather
+    wav = wav_ref[:]
+    frames = wav[:, idx_ref[:]]  # (TILE, 99, 246)
+    flat = frames.reshape(-1, spec_mod.FRAME_LENGTH)
+    re = jnp.dot(flat, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(flat, sin_ref[:], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    out_ref[:] = mag.reshape(-1, NFRAMES, NBINS)
+
+
+def stft_pallas(wav: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """(..., 12288) float audio -> (..., 99, 257) magnitude spectrogram."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = wav.shape[:-1]
+    x = wav.reshape(-1, SECONDS_SAMPLES).astype(jnp.float32)
+    n = x.shape[0]
+    n_pad = -n % TILE
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0)))
+    cos_b, sin_b, idx = _constants()
+    grid = (x.shape[0] // TILE,)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], NFRAMES, NBINS), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, SECONDS_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(cos_b),
+            full(sin_b),
+            full(idx),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, NFRAMES, NBINS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x, cos_b, sin_b, idx)
+    if n_pad:
+        out = out[:n]
+    return out.reshape(*lead, NFRAMES, NBINS)

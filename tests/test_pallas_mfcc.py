@@ -22,3 +22,15 @@ def test_leading_axes_and_padding():
     assert got.shape == (3, 7, 12)
     expected = np.asarray(mfcc_from_frames(jnp.asarray(frames)))
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-3)
+
+
+def test_stft_pallas_matches_reference():
+    from acoustic_image_generation_tpu.dsp.spectrogram import stft_magnitude
+    from acoustic_image_generation_tpu.ops.pallas_stft import stft_pallas
+
+    rng = np.random.default_rng(5)
+    wav = rng.normal(0, 1000, (3, 12288)).astype(np.float32)
+    expected = np.asarray(stft_magnitude(jnp.asarray(wav)))
+    got = np.asarray(stft_pallas(jnp.asarray(wav), interpret=True))
+    assert got.shape == (3, 99, 257)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=1e-1)
