@@ -86,8 +86,6 @@ def import_scope(
             parent = ["vae", parent[0]]
         elif parent == ["conv2d"]:
             parent = ["conv_dec"]
-        elif parent == ["variance"]:
-            parent = ["var_conv"]
         if leaf == "kernel":
             if parent and parent[-1].startswith("upsample"):
                 value = np.transpose(value, (0, 1, 3, 2))  # (kh,kw,out,in)->HWIO
@@ -165,6 +163,14 @@ def merge_into(template: dict, imported: dict, *, strict: bool = False) -> dict:
                     # imported slim conv nested under 'conv', but the
                     # template holds a bare fixed-pad kernel
                     _assign(dst, "kernel", v["kernel"], path + (k,))
+                elif k == "vae" and "vae" not in dst and "mean" in dst:
+                    # models with bare mean/std(-or-variance) conv heads
+                    # instead of a VaeHead submodule (UNetSound small,
+                    # AssociatorAudioEncoder): re-route each head
+                    names = {"mean": "mean",
+                             "std": "std" if "std" in dst else "variance"}
+                    for sub, subtree in v.items():
+                        walk(dst[names[sub]], subtree, path + (names[sub],))
                 elif strict:
                     raise KeyError(f"no template node for {'/'.join(path + (k,))}")
             else:

@@ -199,3 +199,100 @@ def test_dualcamnet_matches_tf_checkpoint(tmp_path):
     merged = merge_into(variables["params"], params, strict=True)
     got = np.asarray(model.apply({"params": merged}, x_np))
     np.testing.assert_allclose(got, tf_logits, rtol=2e-4, atol=2e-3)
+
+
+def _bn_eval(x, name):
+    """tf.layers.batch_normalization(training=False) with fresh stats:
+    gamma/beta/moving stats at default init, eps 1e-3 (the tf.layers
+    default our flax BatchNorm mirrors)."""
+    with v1.variable_scope(name):
+        c = int(x.shape[-1])
+        gamma = v1.get_variable("gamma", [c], initializer=tf.ones_initializer())
+        beta = v1.get_variable("beta", [c], initializer=tf.zeros_initializer())
+        mean = v1.get_variable("moving_mean", [c], initializer=tf.zeros_initializer(),
+                               trainable=False)
+        var = v1.get_variable("moving_variance", [c], initializer=tf.ones_initializer(),
+                              trainable=False)
+        return tf.nn.batch_normalization(x, mean, var, beta, gamma, 1e-3)
+
+
+def _ccp_bn(net, filters, name, pool=False, pool_k=(3, 3), pool_pad="SAME"):
+    """unet_sound.py conv_conv_pool with BN, eval mode."""
+    with v1.variable_scope(f"layer{name}"):
+        for i in range(2):
+            net = _conv2d(net, filters, (3, 3), f"conv_{i + 1}")
+            net = _bn_eval(net, f"bn_{i + 1}")
+            net = tf.nn.relu(net)
+        if not pool:
+            return net
+        p = _conv2d(net, filters, pool_k, "pool_2", strides=(2, 2), padding=pool_pad)
+        p = _bn_eval(p, "bn_pool_2")
+        return net, tf.nn.relu(p)
+
+
+def _deconv_rect(x, filters, kh, kw, strides, name):
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [kh, kw, filters, int(x.shape[-1])],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [filters], initializer=tf.zeros_initializer())
+        out_h = int(x.shape[1]) * strides + max(kh - strides, 0)
+        out_w = int(x.shape[2]) * strides + max(kw - strides, 0)
+        y = tf.nn.conv2d_transpose(
+            x, k, output_shape=[tf.shape(x)[0], out_h, out_w, filters],
+            strides=[1, strides, strides, 1], padding="VALID",
+        )
+        return y + b
+
+
+@pytest.mark.slow
+def test_unet_sound_small_matches_tf_checkpoint(tmp_path):
+    """Audio VAE (unet_sound.py wiring) forward parity in eval mode with
+    z = mean: VALID pool convs, BN(eps 1e-3), skip concats, rectangular
+    deconv kernels."""
+    rng = np.random.default_rng(2)
+    x_np = rng.random((2, 99, 257, 1)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetsound.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 99, 257, 1))
+        with v1.variable_scope("UNetAudio"):
+            conv1, p1 = _ccp_bn(x, 8, "1", pool=True, pool_pad="VALID")
+            conv2, p2 = _ccp_bn(p1, 8, "2", pool=True, pool_k=(3, 2), pool_pad="VALID")
+            conv3, p3 = _ccp_bn(p2, 32, "3", pool=True)
+            conv4, p4 = _ccp_bn(p3, 64, "4", pool=True)
+            conv5 = _ccp_bn(p4, 128, "5")
+            mean = tf.reshape(_conv2d(conv5, 128, (6, 16), "mean", padding="VALID"), (-1, 128))
+            _ = _conv2d(conv5, 128, (6, 16), "variance", padding="VALID")
+            net = tf.nn.relu(_dense(mean, 6 * 16))
+            net = tf.reshape(net, (-1, 6, 16, 1))
+            net = tf.nn.relu(_conv2d(net, 128, (3, 3), "conv2d"))
+            up = _deconv_rect(net, 64, 2, 2, 2, "upsample_6")
+            up = _ccp_bn(tf.concat([up, conv4], -1), 64, "6")
+            up = _deconv_rect(up, 32, 2, 2, 2, "upsample_7")
+            up = _ccp_bn(tf.concat([up, conv3], -1), 32, "7")
+            up = _deconv_rect(up, 8, 3, 2, 2, "upsample_8")
+            up = _ccp_bn(tf.concat([up, conv2], -1), 8, "8")
+            up = _deconv_rect(up, 8, 3, 3, 2, "upsample_9")
+            up = _ccp_bn(tf.concat([up, conv1], -1), 8, "9")
+            out = tf.sigmoid(_conv2d(up, 1, (1, 1), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetSound
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "UNetAudio")
+    model = UNetSound(variant="small")
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x_np, train=False
+    )
+    merged_p = merge_into(variables["params"], params, strict=True)
+    merged_s = merge_into(variables["batch_stats"], stats, strict=True)
+    got = model.apply(
+        {"params": merged_p, "batch_stats": merged_s}, x_np, sample=False, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
