@@ -296,3 +296,42 @@ def test_unet_sound_small_matches_tf_checkpoint(tmp_path):
         {"params": merged_p, "batch_stats": merged_s}, x_np, sample=False, train=False
     )
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_unet_acoustic_matches_tf_checkpoint(tmp_path):
+    """Skip-less acoustic VAE (unet_noconc.py wiring) parity with z = mean."""
+    rng = np.random.default_rng(3)
+    x_np = rng.random((2, 36, 48, 12)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetac.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        with v1.variable_scope("UNetAcoustic"):
+            conv1, pool1 = _conv_conv_pool(x, 128, "1", pool=True)
+            conv2 = _conv_conv_pool(pool1, 133, "3")
+            mean = tf.reshape(_conv2d(conv2, 150, (12, 16), "mean", padding="VALID"), (-1, 150))
+            _ = _conv2d(conv2, 150, (12, 16), "std", padding="VALID")
+            net = tf.nn.relu(_dense(mean, 12 * 16 * 12))
+            net = tf.reshape(net, (-1, 12, 16, 12))
+            net = tf.nn.relu(_conv2d(net, 133, (3, 3), "conv2d"))
+            up1 = _deconv(net, 128, 2, 3, "upsample_1")
+            conv4 = _conv_conv_pool(up1, 128, "4")
+            conv5 = _conv_conv_pool(conv4, 128, "5")
+            out = tf.sigmoid(_conv2d(conv5, 12, (3, 3), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetAcoustic
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "UNetAcoustic")
+    model = UNetAcoustic()
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x_np
+    )
+    merged = merge_into(variables["params"], params, strict=True)
+    got = model.apply({"params": merged}, x_np, sample=False)
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
