@@ -48,6 +48,10 @@ class DataConfig:
     # use the fused Pallas MFCC kernel (ops/pallas_mfcc) instead of the
     # jnp reference frontend inside the jitted step (TPU only)
     pallas_mfcc: bool = False
+    # stats2s directory holding global spectrogram mean/std .npy files
+    # (outdoor_data_mfcc.py:119-159); None = sibling of train_file when
+    # normalize_spectrogram is set
+    stats_dir: str | None = None
 
     @property
     def nr_frames(self) -> int:

@@ -48,6 +48,23 @@ from acoustic_image_generation_tpu.models import UNetAcoustic, UNetSound, UNetVi
 SAMPLES_PER_SECOND = 12 * 1024
 
 
+def _load_spec_stats(config: ExperimentConfig):
+    """Global spectrogram z-norm stats when ``normalize_spectrogram`` is
+    set (outdoor_data_mfcc.py:119-159: a stats2s dir sibling to the list
+    file)."""
+    if not config.data.normalize_spectrogram:
+        return None
+    import os
+
+    from acoustic_image_generation_tpu.data.stats import load_stats
+
+    stats_dir = config.data.stats_dir
+    if stats_dir is None and config.data.train_file:
+        stats_dir = os.path.join(os.path.dirname(config.data.train_file), "stats2s")
+    assert stats_dir is not None, "normalize_spectrogram needs stats_dir"
+    return load_stats(stats_dir)
+
+
 class EmbedTask:
     eval_metric = "mse"
     eval_mode = "min"
@@ -56,6 +73,7 @@ class EmbedTask:
         self.cfg = config
         dt = jnp.bfloat16 if config.parallel.compute_dtype == "bfloat16" else jnp.float32
         latent = config.model.num_class
+        self.spec_stats = _load_spec_stats(config)
         self.frames_per_clip = 12 * config.data.sample_length
         self.acoustic = UNetAcoustic(
             channels=config.data.num_channels, latent_dim=latent, dtype=dt
@@ -72,6 +90,10 @@ class EmbedTask:
         video = batch.video[::f]
         wav = batch.audio.reshape(-1, SAMPLES_PER_SECOND)
         spec = stft_magnitude(wav)  # (N, 99, 257)
+        if self.spec_stats is not None:  # z-norm with global stats
+            from acoustic_image_generation_tpu.data.stats import normalize_spectrogram
+
+            spec = normalize_spectrogram(spec, *self.spec_stats)
         spec = jax.image.resize(spec, (spec.shape[0], 193, 257), method="bilinear")
         return ac, spec[..., None], video
 

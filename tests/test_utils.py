@@ -79,3 +79,49 @@ def test_step_timer():
         t.step()
     assert t.steps_timed == 2
     assert t.clips_per_sec >= 0
+
+
+def test_embed_task_spectrogram_znorm(tmp_path):
+    """normalize_spectrogram wiring: EmbedTask loads stats2s and applies
+    z-norm to its per-second spectrograms."""
+    import jax.numpy as jnp
+
+    from acoustic_image_generation_tpu.core.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+    from acoustic_image_generation_tpu.train.embed import EmbedTask
+
+    mean = np.full((99, 257), 2.0, np.float32)
+    std = np.full((99, 257), 4.0, np.float32)
+    save_stats(str(tmp_path / "stats2s"), mean, std)
+    cfg = ExperimentConfig(
+        data=DataConfig(
+            normalize_spectrogram=True, stats_dir=str(tmp_path / "stats2s")
+        ),
+        model=ModelConfig(embedding=True, num_class=150),
+    )
+    task = EmbedTask(cfg)
+    assert task.spec_stats is not None
+
+    from acoustic_image_generation_tpu.data.preprocess import Batch
+
+    n = 12
+    rng2 = np.random.default_rng(1)
+    batch = Batch(
+        acoustic=jnp.zeros((n, 36, 48, 12)),
+        audio=jnp.asarray(rng2.normal(0, 100, (n, 1024)).astype(np.float32)),
+        mfcc=jnp.zeros((n, 12)),
+        video=jnp.zeros((n, 224, 298, 3)),
+        action=jnp.zeros((n,), jnp.int32),
+        location=jnp.zeros((n,), jnp.int32),
+        filtered_mfcc=jnp.zeros((n, 12)),
+    )
+    _, spec_norm, _ = task._inputs(batch)
+    cfg_raw = ExperimentConfig(model=ModelConfig(embedding=True, num_class=150))
+    spec_raw = EmbedTask(cfg_raw)._inputs(batch)[1]
+    # z-norm: (x - 2) / 4 applied before the resize
+    np.testing.assert_allclose(
+        np.asarray(spec_norm), (np.asarray(spec_raw) - 2.0) / 4.0, rtol=1e-4, atol=1e-5
+    )
