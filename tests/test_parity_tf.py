@@ -335,3 +335,166 @@ def test_unet_acoustic_matches_tf_checkpoint(tmp_path):
     merged = merge_into(variables["params"], params, strict=True)
     got = model.apply({"params": merged}, x_np, sample=False)
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+def _slim_conv_bn(x, cout, ksize, stride, name, relu=True, fixed_pad=False,
+                  padding="SAME"):
+    """slim conv2d under resnet_arg_scope, eval mode: conv (no bias) ->
+    BN(eps 1e-5, scale) [-> relu]. fixed_pad = resnet_utils.conv2d_same."""
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "weights", [*ksize, int(x.shape[-1]), cout],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        if fixed_pad and stride > 1:
+            kh = ksize[0]
+            pad_beg = (kh - 1) // 2
+            pad_end = kh - 1 - pad_beg
+            x = tf.pad(x, [[0, 0], [pad_beg, pad_end], [pad_beg, pad_end], [0, 0]])
+            y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding="VALID")
+        else:
+            y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding=padding)
+        with v1.variable_scope("BatchNorm"):
+            c = cout
+            gamma = v1.get_variable("gamma", [c], initializer=tf.ones_initializer())
+            beta = v1.get_variable("beta", [c], initializer=tf.zeros_initializer())
+            mean = v1.get_variable("moving_mean", [c],
+                                   initializer=tf.zeros_initializer(), trainable=False)
+            var = v1.get_variable("moving_variance", [c],
+                                  initializer=tf.ones_initializer(), trainable=False)
+            y = tf.nn.batch_normalization(y, mean, var, beta, gamma, 1e-5)
+        return tf.nn.relu(y) if relu else y
+
+
+def _bottleneck(x, depth, depth_bottleneck, stride, name):
+    with v1.variable_scope(name), v1.variable_scope("bottleneck_v1"):
+        depth_in = int(x.shape[-1])
+        if depth == depth_in:
+            shortcut = x if stride == 1 else tf.nn.max_pool2d(x, 1, stride, "VALID")
+        else:
+            shortcut = _slim_conv_bn(x, depth, (1, 1), stride, "shortcut", relu=False)
+        r = _slim_conv_bn(x, depth_bottleneck, (1, 1), 1, "conv1")
+        r = _slim_conv_bn(r, depth_bottleneck, (3, 3), stride, "conv2",
+                          fixed_pad=stride > 1)
+        r = _slim_conv_bn(r, depth, (1, 1), 1, "conv3", relu=False)
+        return tf.nn.relu(shortcut + r)
+
+
+@pytest.mark.slow
+def test_resnet50_trunk_matches_tf_checkpoint(tmp_path):
+    """Reduced-depth (1 unit/block) stride-16 ResNet50 + conv_map parity in
+    eval mode — validates bottleneck wiring, fixed-pad stride-2 convs, slim
+    BN semantics, and the 12x16x12 conv_map head."""
+    rng = np.random.default_rng(4)
+    x_np = rng.random((1, 224, 298, 3)).astype(np.float32)
+
+    blocks = [("block1", 64, 1), ("block2", 128, 2), ("block3", 256, 2), ("block4", 512, 1)]
+    ckpt_path = str(tmp_path / "resnet.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 224, 298, 3))
+        with v1.variable_scope("resnet_v1_50"):
+            net = _slim_conv_bn(x, 64, (7, 7), 2, "conv1", fixed_pad=True)
+            net = tf.nn.max_pool2d(net, 3, 2, "VALID")
+            for bname, base, stride in blocks:
+                with v1.variable_scope(bname):
+                    net = _bottleneck(net, base * 4, base, stride, "unit_1")
+            net = _slim_conv_bn(net, 12, (3, 4), 1, "conv_map", padding="VALID")
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(net, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import ResNet50
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "resnet_v1_50")
+    model = ResNet50(blocks=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 1)))
+    variables = model.init({"params": jax.random.key(0)}, x_np, train=False)
+    merged_p = merge_into(variables["params"], params, strict=True)
+    merged_s = merge_into(variables["batch_stats"], stats, strict=True)
+    got = model.apply({"params": merged_p, "batch_stats": merged_s}, x_np, train=False)
+    assert got.shape == tf_out.shape == (1, 12, 16, 12)
+    np.testing.assert_allclose(np.asarray(got), tf_out, rtol=5e-4, atol=5e-4)
+
+
+def _deconv_rect2(x, filters, kh, kw, sh, sw, name):
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [kh, kw, filters, int(x.shape[-1])],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [filters], initializer=tf.zeros_initializer())
+        out_h = int(x.shape[1]) * sh + max(kh - sh, 0)
+        out_w = int(x.shape[2]) * sw + max(kw - sw, 0)
+        y = tf.nn.conv2d_transpose(
+            x, k, output_shape=[tf.shape(x)[0], out_h, out_w, filters],
+            strides=[1, sh, sw, 1], padding="VALID",
+        )
+        return y + b
+
+
+def _ccp_bn_opts(net, filters, name, pool=False, pool_k=(3, 3), pool_s=(2, 2),
+                 pool_pad="SAME"):
+    with v1.variable_scope(f"layer{name}"):
+        for i in range(2):
+            net = _conv2d(net, filters, (3, 3), f"conv_{i + 1}")
+            net = _bn_eval(net, f"bn_{i + 1}")
+            net = tf.nn.relu(net)
+        if not pool:
+            return net
+        p = _conv2d(net, filters, pool_k, "pool_2", strides=pool_s, padding=pool_pad)
+        p = _bn_eval(p, "bn_pool_2")
+        return net, tf.nn.relu(p)
+
+
+@pytest.mark.slow
+def test_unet_video_matches_tf_checkpoint(tmp_path):
+    """Video VAE (unet_architecture_noconc.py wiring) parity with z = mean:
+    VALID pool convs with mixed kernels/strides and rectangular stride-3
+    deconvs (3,4)/(4,3)/(5,4)."""
+    rng = np.random.default_rng(5)
+    x_np = rng.random((1, 224, 298, 3)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetvideo.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 224, 298, 3))
+        with v1.variable_scope("UNet"):
+            _, p1 = _ccp_bn_opts(x, 32, "1", pool=True, pool_s=(3, 3), pool_pad="VALID")
+            _, p2 = _ccp_bn_opts(p1, 128, "2", pool=True, pool_pad="VALID")
+            _, p3 = _ccp_bn_opts(p2, 256, "3", pool=True, pool_k=(2, 3),
+                                 pool_s=(3, 3), pool_pad="VALID")
+            conv5 = _ccp_bn_opts(p3, 512, "5")
+            mean = tf.reshape(_conv2d(conv5, 1024, (12, 16), "mean", padding="VALID"), (-1, 1024))
+            _ = _conv2d(conv5, 1024, (12, 16), "std", padding="VALID")
+            net = tf.nn.relu(_dense(mean, 12 * 16 * 50))
+            net = tf.reshape(net, (-1, 12, 16, 50))
+            net = tf.nn.relu(_conv2d(net, 512, (3, 3), "conv2d"))
+            up = _deconv_rect2(net, 256, 3, 4, 3, 3, "upsample_6")
+            up = _ccp_bn_opts(up, 256, "6")
+            up = _ccp_bn_opts(up, 256, "7")
+            up = _deconv_rect2(up, 128, 4, 3, 2, 2, "upsample_8")
+            up = _ccp_bn_opts(up, 128, "8")
+            up = _ccp_bn_opts(up, 128, "9")
+            up = _deconv_rect2(up, 32, 5, 4, 3, 3, "upsample_10")
+            up = _ccp_bn_opts(up, 32, "10")
+            up = _ccp_bn_opts(up, 32, "11")
+            out = tf.sigmoid(_conv2d(up, 3, (1, 1), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetVideo
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "UNet")
+    model = UNetVideo()
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x_np, train=False
+    )
+    merged_p = merge_into(variables["params"], params, strict=True)
+    merged_s = merge_into(variables["batch_stats"], stats, strict=True)
+    got = model.apply(
+        {"params": merged_p, "batch_stats": merged_s}, x_np, sample=False, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
