@@ -129,3 +129,31 @@ class GeneratedClassificationTask(ClassificationTask):
         per_clip_ce = -jnp.sum(labels * logp, axis=-1)
         correct = (jnp.argmax(logits, 1) == jnp.argmax(labels, 1)).astype(jnp.float32)
         return {"cross_loss": per_clip_ce, "accuracy": correct}, logits
+
+
+class CorrespondenceTask(ClassificationTask):
+    """Audio-visual correspondence classification: DualCamNet(2) over the
+    correspondence-augmented batch (real acoustic images labeled 1, tiled
+    silence-MFCC fakes labeled 0 — ``outdoor_data_mfcc.py:888-928``; enable
+    ``data.correspondence`` so the trainer doubles each batch).
+
+    NOTE: remainder batches must be dropped (the default for training);
+    the eval mask assumes the doubled batch is fully valid because the
+    augmented halves are concatenated, not interleaved.
+    """
+
+    def __init__(self, config: ExperimentConfig):
+        assert config.data.correspondence, "enable data.correspondence"
+        cfg = config
+        super().__init__(cfg)
+        dt = jnp.bfloat16 if cfg.parallel.compute_dtype == "bfloat16" else jnp.float32
+        self.model = DualCamNet(
+            num_classes=2,
+            num_frames=self.num_frames,
+            channels=cfg.data.num_channels,
+            dtype=dt,
+        )
+
+    def _labels(self, batch: Batch):
+        assert batch.correspondence is not None
+        return batch.correspondence[:: self.num_frames]

@@ -169,3 +169,19 @@ def test_joint_task(tmp_path, mode):
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["video"], p1["video"])
     )
+
+
+@pytest.mark.slow
+def test_correspondence_task(tmp_path):
+    from acoustic_image_generation_tpu.core.config import DataConfig
+    from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1, correspondence=True),
+        model=ModelConfig(model="DualCamNet"),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="corr", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    _, _, m, _, _ = _one_step(CorrespondenceTask(cfg), cfg)
+    assert 0.0 <= m["accuracy"] <= 1.0
