@@ -86,3 +86,27 @@ def test_convert_capture_dir_and_load(raw_capture, tmp_path):
     )
     batches = list(loader.batches(0))
     assert batches and batches[0].video.shape[2:] == (224, 298, 3)
+
+
+def test_write_video_time(tmp_path):
+    from acoustic_image_generation_tpu.data.listing import write_video_time
+
+    d = tmp_path / "cap"
+    (d / "video").mkdir(parents=True)
+    for i in range(30):  # 2.5 seconds -> 2 whole seconds
+        (d / "video" / f"I_{i + 1:06d}.bmp").write_bytes(b"x")
+    assert write_video_time(str(d)) == 2
+    assert (d / "video_time.txt").read_text() == "time: 2\n"
+
+
+def test_csv_to_clip_lists(tmp_path):
+    from acoustic_image_generation_tpu.data.listing import csv_to_clip_lists
+
+    csv_path = tmp_path / "ann.csv"
+    csv_path.write_text(
+        "id,start,label\nabc123,10,dog barking\ndef456,5,dog barking\nzzz,0,train\n"
+    )
+    out = csv_to_clip_lists(str(csv_path), str(tmp_path / "lists"))
+    assert set(out) == {"dog_barking", "train"}
+    lines = open(out["dog_barking"]).read().strip().splitlines()
+    assert lines == ["abc123,10", "def456,5"]

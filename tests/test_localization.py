@@ -81,3 +81,35 @@ def test_box_iou_sweep_flickr(tmp_path):
     assert res["iou"].shape[0] == 8 * 12
     assert np.all(np.isfinite(res["iou"]))
     assert os.path.exists(os.path.join(str(tmp_path / "bb"), "area.txt"))
+
+
+@pytest.mark.slow
+def test_real_vs_generated_accuracy(tmp_path):
+    """saveimagesresnet.py capability: one pass scoring a DualCamNet on
+    both real and generated acoustic images."""
+    from acoustic_image_generation_tpu.evaluation.real_vs_generated import (
+        real_vs_generated_accuracy,
+    )
+    from acoustic_image_generation_tpu.train.classify import ClassificationTask
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    cfg = make_cfg(tmp_path)
+    loader = AcousticImageDataLoader(lists["testing"], "testing", 8)
+    gen_task = GenerationTask(cfg)
+    trainer = Trainer(gen_task, cfg)
+    for first in loader.batches(0):
+        break
+    gen_state = jax.device_get(trainer.init_state(first))
+
+    cls_task = ClassificationTask(cfg)
+    cls_trainer = Trainer(cls_task, cfg)
+    cls_state = jax.device_get(cls_trainer.init_state(first))
+
+    res = real_vs_generated_accuracy(
+        gen_task, gen_state, cls_task, cls_state.params["dualcamnet"], loader
+    )
+    assert res["n"] == 8
+    assert 0.0 <= res["real_accuracy"] <= 1.0
+    assert 0.0 <= res["generated_accuracy"] <= 1.0
