@@ -72,8 +72,17 @@ def write_synthetic_dataset(
 
     Directory layout mirrors the converter:
     ``{out}/class_{c}/data_{v:03d}/Data_{s:03d}.tfrecord``.
+
+    The data is *learnable* end to end, mirroring how the real sensor
+    couples modalities: each second has a sound source at a random grid
+    position — the acoustic image is a Gaussian energy blob there (plus
+    noise), the video frame shows a bright marker at the corresponding
+    pixel location, and the audio is a class-dependent tone. A generator
+    conditioned on (video, mfcc) can therefore genuinely learn to localize,
+    making the IoU/AUC evaluation meaningful on synthetic shards.
     """
     rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:ACOUSTIC_H, 0:ACOUSTIC_W].astype(np.float32)
     all_files: list[str] = []
     for c in range(num_classes):
         for v in range(videos_per_class):
@@ -91,17 +100,32 @@ def write_synthetic_dataset(
                 + rng.normal(0, 100, t.shape)
             ).astype(np.int32)
             for s in range(seconds_per_video):
-                acoustic = rng.random(
-                    (FRAMES_PER_SECOND, ACOUSTIC_H, ACOUSTIC_W, num_channels)
+                # sound source position for this second
+                cy = rng.uniform(6, ACOUSTIC_H - 6)
+                cx = rng.uniform(6, ACOUSTIC_W - 6)
+                blob = np.exp(-(((yy - cy) ** 2) + ((xx - cx) ** 2)) / (2 * 4.0**2))
+                per_ch = 0.5 + 0.5 * rng.random(num_channels).astype(np.float32)
+                acoustic = (
+                    blob[None, :, :, None] * per_ch[None, None, None, :]
+                    + 0.05 * rng.random(
+                        (FRAMES_PER_SECOND, ACOUSTIC_H, ACOUSTIC_W, num_channels)
+                    )
                 ).astype(np.float32) * (c + 1)
                 sl = slice(
                     s * FRAMES_PER_SECOND * NUM_SAMPLES,
                     (s + 1) * FRAMES_PER_SECOND * NUM_SAMPLES,
                 )
                 audio = wave[sl].reshape(FRAMES_PER_SECOND, NUM_SAMPLES)
+                # video: dark noise background + bright marker at the
+                # source position (acoustic lattice scaled to pixels)
                 video = rng.integers(
-                    0, 256, (FRAMES_PER_SECOND, *video_hw, 3), dtype=np.uint8
+                    0, 64, (FRAMES_PER_SECOND, *video_hw, 3), dtype=np.uint8
                 )
+                py = int(cy / ACOUSTIC_H * video_hw[0])
+                px = int(cx / ACOUSTIC_W * video_hw[1])
+                y0, y1 = max(py - 10, 0), min(py + 10, video_hw[0])
+                x0, x1 = max(px - 10, 0), min(px + 10, video_hw[1])
+                video[:, y0:y1, x0:x1, :] = 255
                 ex = make_sequence_example(
                     acoustic=acoustic,
                     audio=audio,
