@@ -26,20 +26,30 @@ import sys
 import numpy as np
 
 
+def _strip(train_flags):
+    """Drop the conventional ``--`` separator (argparse.REMAINDER keeps it).
+    NOTE: options of the subcommand itself (e.g. ``--out_dir``) must come
+    BEFORE the positional arguments — REMAINDER greedily captures everything
+    after them."""
+    return [f for f in train_flags if f != "--"]
+
+
 def cmd_iou(args) -> int:
     """Real-vs-generated energy IoU sweep over the test split."""
     from acoustic_image_generation_tpu.cli.main import config_from_args, build_parser, make_loader, select_task
     from acoustic_image_generation_tpu.evaluation.localize import run_iou_sweep
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
-    main_args = build_parser().parse_args(args.train_flags)
+    main_args = build_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
     task = select_task(config)
     trainer = Trainer(task, config)
     loader = make_loader(config, "testing")
     for first in loader.batches(0):
         break
-    template = trainer.init_state(first)
+    import jax
+
+    template = jax.device_get(trainer.init_state(first))
     state = trainer.restore(args.checkpoint, template)
     out_dir = args.out_dir or trainer.run_dir
     res = run_iou_sweep(task, state, loader, out_dir)
@@ -128,7 +138,7 @@ def cmd_extract(args) -> int:
     from acoustic_image_generation_tpu.evaluation.export import export_features
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
-    main_args = build_parser().parse_args(args.train_flags)
+    main_args = build_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
     task = select_task(config)
     assert hasattr(task, "embeddings"), "extract requires an embedding task"
@@ -209,7 +219,7 @@ def cmd_show(args) -> int:
     from acoustic_image_generation_tpu.evaluation.plots import save_channel_grid
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
-    main_args = main_parser().parse_args(args.train_flags)
+    main_args = main_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
     task = select_task(config)
     trainer = Trainer(task, config)

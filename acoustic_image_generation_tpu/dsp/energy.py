@@ -27,6 +27,9 @@ def find_logen(mfcc: jnp.ndarray) -> jnp.ndarray:
       (...) energy map, e.g. (B, 36, 48).
     """
     c = mel_mod.constants()
+    # upcast: exp() of un-liftered log-mel overflows in bfloat16, which
+    # silently zeroes the energy map when fed bf16 model outputs
+    mfcc = mfcc.astype(jnp.float32)
     x = mfcc / jnp.asarray(c.lifter, mfcc.dtype)
     x = x * c.mfnorm
     melspec = x @ jnp.asarray(c.dct_base.T, mfcc.dtype)  # (..., 24)

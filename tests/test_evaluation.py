@@ -134,3 +134,14 @@ def test_export_knn_retrieve_integration(tmp_path):
     assert acc == 1.0  # self-retrieval with k=1 is perfect
     ranks = retrieval_ranks(x, y, x, y, num_classes=3)
     assert ranks["rank1"] == 1.0
+
+
+def test_energy_map_bf16_inputs():
+    """find_logen must upcast: bf16 inputs overflow exp() and zero the map."""
+    x = rng.random((2, 36, 48, 12)).astype(np.float32)
+    f32 = np.asarray(iou_real_vs_generated(jnp.asarray(x), jnp.asarray(x)))
+    bf16 = np.asarray(
+        iou_real_vs_generated(jnp.asarray(x), jnp.asarray(x, jnp.bfloat16))
+    )
+    assert np.all(f32 == 1.0)
+    assert np.all(bf16 > 0.9)
