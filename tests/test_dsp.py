@@ -3,7 +3,6 @@ pipeline (lifted from /root/reference/dataloader/outdoor_data_mfcc.py:796-876
 and /root/reference/iouenergythreshold.py:294-323)."""
 
 import numpy as np
-import pytest
 import scipy.signal as sps
 
 import jax.numpy as jnp

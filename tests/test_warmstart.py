@@ -66,8 +66,6 @@ def test_params_only_restore_and_overlay(tmp_path):
     np.testing.assert_array_equal(leaf(got), leaf(saved))
     assert not np.array_equal(leaf(got), leaf(p0))
     # optimizer state untouched (fresh zeros)
-    import optax
-
     mu = jax.device_get(restored.opt_state)[0].mu
     assert float(np.abs(leaf(mu)).max()) == 0.0
 
