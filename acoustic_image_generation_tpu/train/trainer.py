@@ -198,14 +198,18 @@ class Trainer:
             t0 = time.time()
             n_steps = 0
             last_metrics: dict = {}
+            metrics = None
             try:
                 for raw_batch in train_loader.batches(epoch):
                     state, metrics = self.train_step(state, raw_batch)
                     n_steps += 1
-                    if n_steps % max(cfg.run.display_freq, 1) == 0:
-                        last_metrics = {
-                            k: float(v) for k, v in jax.device_get(metrics).items()
-                        }
+                # fetch once per epoch: pulling metric VALUES per step forces
+                # a device sync each step (very costly on tunneled TPUs);
+                # keeping them as device arrays lets steps pipeline
+                if metrics is not None:
+                    last_metrics = {
+                        k: float(v) for k, v in jax.device_get(metrics).items()
+                    }
             except (KeyboardInterrupt, Exception):
                 # failure containment (SURVEY.md §5: the reference has none):
                 # persist the live state so the run is resumable, then re-raise
