@@ -165,18 +165,24 @@ class Trainer:
         return self._train_step(state, raw)
 
     def evaluate(self, state: TrainState, loader, epoch: int = 0) -> dict:
-        """Size-weighted mean eval losses (trainer/*.py ``_evaluate``)."""
+        """Size-weighted mean eval losses (trainer/*.py ``_evaluate``).
+
+        Sums stay on device until the end so batches pipeline (a per-batch
+        value fetch costs a full sync on tunneled TPUs)."""
         sums: dict = {}
-        count = 0.0
+        count = None
         for i, raw_batch in enumerate(loader.batches(epoch)):
             raw = self.device_batch(raw_batch)
             key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
             batch_sums, n = self._eval_step(state, raw, key)
-            batch_sums = jax.device_get(batch_sums)
             for k, v in batch_sums.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += float(n)
-        return {k: v / max(count, 1.0) for k, v in sums.items()}
+                sums[k] = v if k not in sums else sums[k] + v
+            count = n if count is None else count + n
+        if count is None:
+            return {}
+        sums = jax.device_get(sums)
+        count = max(float(jax.device_get(count)), 1.0)
+        return {k: float(v) / count for k, v in sums.items()}
 
     def fit(self, train_loader, valid_loader, *, state: TrainState | None = None) -> TrainState:
         cfg = self.cfg
