@@ -292,6 +292,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--modalities", nargs="*", type=int, default=[1, 2])
     s.set_defaults(fn=cmd_convert)
 
+    s = sub.add_parser("reshard", help="rewrite shards uncompressed for ingest throughput")
+    s.add_argument("list_file")
+    s.add_argument("out_dir")
+    s.set_defaults(fn=lambda a: print(__import__(
+        "acoustic_image_generation_tpu.data.convert", fromlist=["reshard"]
+    ).reshard(a.list_file, a.out_dir)) or 0)
+
     s = sub.add_parser("show", help="energy overlay + channel-grid renders")
     s.add_argument("checkpoint")
     s.add_argument("out_dir")

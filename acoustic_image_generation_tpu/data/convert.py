@@ -192,3 +192,27 @@ def write_list_files(out_dir: str, shard_paths: list[str], splits=(0.7, 0.15, 0.
                     f.write(p + "\n")
         lists[split] = path
     return lists
+
+
+def reshard(list_file: str, out_dir: str, *, compression: str | None = None) -> str:
+    """Rewrite a dataset's shards (default: uncompressed) for ingest
+    throughput — gzip inflate dominates single-core decode (SURVEY.md §7
+    hard part 4). Directory structure under ``out_dir`` mirrors the last
+    two path components; returns the new list file path."""
+    from acoustic_image_generation_tpu.data import tfrecord
+
+    new_paths = []
+    with open(list_file) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    for path in paths:
+        records = tfrecord.read_records(path)
+        parts = path.rstrip("/").split("/")
+        dest_dir = os.path.join(out_dir, parts[-3], parts[-2])
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, parts[-1])
+        tfrecord.write_records(dest, records, compression=compression)
+        new_paths.append(dest)
+    new_list = os.path.join(out_dir, os.path.basename(list_file))
+    with open(new_list, "w") as f:
+        f.write("\n".join(new_paths) + "\n")
+    return new_list

@@ -87,8 +87,19 @@ def iter_records(stream, *, verify_crc: bool = False) -> Iterator[bytes]:
         yield data
 
 
-def read_records(path: str, *, compression: str | None = "GZIP",
+def detect_compression(path: str) -> str | None:
+    """'GZIP' if the file starts with the gzip magic, else None. Lets one
+    list file mix gzip shards (reference converters) with uncompressed
+    re-shards (high-throughput ingest)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return "GZIP" if magic == b"\x1f\x8b" else None
+
+
+def read_records(path: str, *, compression: str | None = "auto",
                  verify_crc: bool = False) -> list[bytes]:
+    if compression == "auto":
+        compression = detect_compression(path)
     opener = gzip.open if compression == "GZIP" else open
     with opener(path, "rb") as f:
         return list(iter_records(f, verify_crc=verify_crc))

@@ -41,12 +41,31 @@ int fail(const std::string& msg) {
 
 // ------------------------------------------------------------ gzip inflate
 
-// Inflate a whole .gz file into memory. Returns 0 on success.
+// Read a shard into memory, inflating when gzip-compressed (detected by
+// magic bytes; uncompressed re-shards skip the zlib cost entirely).
+// Returns 0 on success.
 int read_gzip_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* raw = fopen(path, "rb");
+  if (!raw) return fail(std::string("cannot open ") + path);
+  uint8_t magic[2] = {0, 0};
+  size_t got = fread(magic, 1, 2, raw);
+  bool gz = got == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+  out->clear();
+  if (!gz) {
+    // plain TFRecord file: slurp it
+    fseek(raw, 0, SEEK_END);
+    long size = ftell(raw);
+    fseek(raw, 0, SEEK_SET);
+    out->resize(size_t(size));
+    size_t rd = fread(out->data(), 1, size_t(size), raw);
+    fclose(raw);
+    if (rd != size_t(size)) return fail(std::string("short read ") + path);
+    return 0;
+  }
+  fclose(raw);
   gzFile f = gzopen(path, "rb");
   if (!f) return fail(std::string("cannot open ") + path);
   gzbuffer(f, 1 << 20);
-  out->clear();
   out->reserve(1 << 22);
   uint8_t chunk[1 << 20];
   int n;
