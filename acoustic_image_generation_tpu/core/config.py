@@ -144,6 +144,9 @@ class ParallelConfig:
     num_devices: int | None = None  # None = all local devices
     # compute dtype for conv/matmul inside models; params stay f32
     compute_dtype: str = "float32"  # or "bfloat16"
+    # ZeRO-3-style sharding of params/gradients/Adam moments over the data
+    # axis (parallel.fsdp_sharding); False = fully replicated state
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,8 +1,15 @@
 from acoustic_image_generation_tpu.parallel.mesh import (
     batch_sharding,
+    fsdp_sharding,
     make_mesh,
     replicated_sharding,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "fsdp_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

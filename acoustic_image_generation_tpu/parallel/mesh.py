@@ -45,3 +45,36 @@ def shard_batch(batch, mesh: Mesh):
     pipeline pads remainder batches to keep shapes static)."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 16):
+    """ZeRO-3-style parameter sharding over the data axis.
+
+    Each parameter at least ``min_size`` elements large is split along its
+    largest mesh-divisible axis; everything else stays replicated. Gradients
+    and Adam moments inherit the layout through jit, so optimizer-state HBM
+    scales down with the mesh; XLA inserts the all-gathers before use and
+    reduce-scatters on the gradients (the standard FSDP schedule), riding
+    ICI. The reference has no counterpart (single GPU); this exists so the
+    framework scales past per-chip HBM without model surgery.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+
+    def spec(p):
+        shape = getattr(p, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if size >= min_size:
+            # shard the largest divisible dim (ties -> later dim, which for
+            # HWIO conv kernels is the output-channel axis)
+            best = None
+            for i, d in enumerate(shape):
+                if d % n == 0 and (best is None or d >= shape[best]):
+                    best = i
+            if best is not None:
+                parts = [None] * len(shape)
+                parts[best] = axis
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)

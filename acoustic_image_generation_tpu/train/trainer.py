@@ -38,6 +38,7 @@ from acoustic_image_generation_tpu.core.config import ExperimentConfig
 from acoustic_image_generation_tpu.data import preprocess
 from acoustic_image_generation_tpu.parallel import (
     batch_sharding,
+    fsdp_sharding,
     make_mesh,
     replicated_sharding,
 )
@@ -64,6 +65,7 @@ class Trainer:
 
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
+        self._state_shardings = None  # set by init_state when fsdp is on
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._init = jax.jit(self._init_impl)
@@ -118,8 +120,23 @@ class Trainer:
 
     def init_state(self, raw_batch) -> TrainState:
         raw = self.device_batch(raw_batch)
-        state = self._init(rng_mod.role_key(self.base_key, "init"), raw)
-        return jax.device_put(state, self._replicated)
+        key = rng_mod.role_key(self.base_key, "init")
+        if not self.cfg.parallel.fsdp:
+            state = self._init(key, raw)
+            return jax.device_put(state, self._replicated)
+        # FSDP: derive per-leaf shardings from the state's shapes — Adam
+        # moments share the params' shapes, so one rule shards them all;
+        # jit then materializes the state directly in that layout and the
+        # train step keeps it (out_shardings below).
+        shapes = jax.eval_shape(self._init_impl, key, raw)
+        self._state_shardings = fsdp_sharding(shapes, self.mesh)
+        init = jax.jit(self._init_impl, out_shardings=self._state_shardings)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,),
+            out_shardings=(self._state_shardings, None),
+        )
+        return init(key, raw)
 
     def _train_step_impl(self, state: TrainState, raw: dict):
         batch = self._prepare(raw)

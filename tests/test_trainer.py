@@ -106,3 +106,36 @@ def test_generation_step_and_eval(tiny_dataset, tmp_path):
     val = trainer.evaluate(s1, loader)
     assert {"mse", "mse0", "mse1", "mse2", "mse3"} <= set(val)
     assert np.isfinite(val["mse"])
+
+
+@pytest.mark.slow
+def test_fsdp_shards_state_across_mesh(tiny_dataset, tmp_path):
+    """ZeRO-style state sharding: large params + Adam moments split over the
+    data axis; a train step runs and keeps the layout."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(encoder_type="Ac"),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="fsdp", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32", fsdp=True),
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    for raw in loader.batches(0):
+        break
+    state = trainer.init_state(raw)
+
+    big = state.params["model"]["dense"]["kernel"]  # (150, 2304)
+    assert big.sharding.spec == P(None, "data")
+    small = state.params["model"]["final"]["bias"]
+    assert small.sharding.spec == P()
+    # Adam moments inherit the layout
+    mu_big = state.opt_state[0].mu["model"]["dense"]["kernel"]
+    assert mu_big.sharding.spec == P(None, "data")
+    # a step preserves sharding and stays finite
+    new_state, metrics = trainer.train_step(state, raw)
+    assert new_state.params["model"]["dense"]["kernel"].sharding.spec == P(None, "data")
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
