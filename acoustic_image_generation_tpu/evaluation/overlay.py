@@ -51,3 +51,35 @@ def save_overlay_grid(
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def save_overlay_video_frames(
+    out_dir: str,
+    video_frames: np.ndarray,  # (N, 224, 298, 3) in [0,1]
+    masks: np.ndarray,  # (N, 36, 48) bool — generated energy masks
+    *,
+    prefix: str = "frame",
+) -> list[str]:
+    """Per-frame overlay renders for a whole clip/video
+    (``/root/reference/showvideo.py:201-233``: VGGSound/AVE videos rendered
+    frame by frame with the energy mask alpha-blended). Stitch with any
+    encoder, e.g. ``ffmpeg -i frame_%05d.png out.mp4``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    h, w = video_frames.shape[1:3]
+    for i, (frame, mask) in enumerate(zip(video_frames, masks)):
+        fig, ax = plt.subplots(figsize=(w / 100, h / 100), dpi=100)
+        ax.imshow(frame.mean(axis=-1), cmap="gray")
+        ax.imshow(_upscale_nearest(mask.astype(float), h, w), cmap="jet", alpha=0.5)
+        ax.axis("off")
+        fig.subplots_adjust(0, 0, 1, 1)
+        path = os.path.join(out_dir, f"{prefix}_{i:05d}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        paths.append(path)
+    return paths

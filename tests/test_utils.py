@@ -125,3 +125,15 @@ def test_embed_task_spectrogram_znorm(tmp_path):
     np.testing.assert_allclose(
         np.asarray(spec_norm), (np.asarray(spec_raw) - 2.0) / 4.0, rtol=1e-4, atol=1e-5
     )
+
+
+def test_overlay_video_frames(tmp_path):
+    from acoustic_image_generation_tpu.evaluation.overlay import (
+        save_overlay_video_frames,
+    )
+
+    rng2 = np.random.default_rng(3)
+    frames = rng2.random((3, 224, 298, 3)).astype(np.float32)
+    masks = rng2.random((3, 36, 48)) > 0.5
+    paths = save_overlay_video_frames(str(tmp_path / "vid"), frames, masks)
+    assert len(paths) == 3 and all(os.path.getsize(p) > 500 for p in paths)
