@@ -137,6 +137,71 @@ def main() -> None:
         }))
         return
 
+    scan_k = int(os.environ.get("AIG_BENCH_SCAN", "0"))
+    if scan_k:
+        # fuse scan_k train steps into ONE jitted program (lax.scan over
+        # per-step latent keys): a single dispatch per K steps amortizes
+        # the per-call overhead of remote/tunneled execution
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_scan(params, batch_stats, opt_state, acoustic, audio, video, action, keys):
+            def body(carry, key):
+                p, bs, opt = carry
+                p, bs, opt, loss = _step_body(p, bs, opt, acoustic, audio, video, action, key)
+                return (p, bs, opt), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), keys
+            )
+            return params, batch_stats, opt_state, losses[-1]
+
+        def _step_body(params, batch_stats, opt_state, acoustic, audio, video, action, key):
+            batch = preprocess_batch(acoustic, audio, video, action, action)
+
+            def loss_fn(p):
+                feat, mut = resnet.apply(
+                    {"params": p["resnet"], "batch_stats": batch_stats},
+                    batch.video, train=True, mutable=["batch_stats"],
+                )
+                out = generator.apply(
+                    {"params": p["generator"]}, tile_mfccmap(batch.mfcc), feat,
+                    rngs={"latent": key},
+                )
+                recon = out.output.astype(jnp.float32)
+                loss = (
+                    mse_tf(batch.acoustic, recon)
+                    + huber_tf(batch.acoustic, recon)
+                    + 1e-6 * jnp.mean(kl_diag_gaussian(out.mean, out.std))
+                    + l2_regularization(p["resnet"], 5e-4)
+                )
+                return loss, mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+        keys = jax.random.split(jax.random.key(0), scan_k)
+        params, batch_stats, opt_state, loss = train_scan(
+            params, batch_stats, opt_state, *args, keys
+        )
+        float(loss)
+        n_outer = int(os.environ.get("AIG_BENCH_STEPS", "5"))
+        t0 = time.perf_counter()
+        for i in range(n_outer):
+            params, batch_stats, opt_state, loss = train_scan(
+                params, batch_stats, opt_state, *args,
+                jax.random.split(jax.random.key(i + 1), scan_k),
+            )
+        float(loss)
+        dt = time.perf_counter() - t0
+        clips_per_sec = n_outer * scan_k * (frames / 12) / dt
+        print(json.dumps({
+            "metric": "generation_train_clips_per_sec_chip",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4),
+        }))
+        return
+
     # warmup (compile + 2 steady steps); fetching the loss VALUE forces
     # real execution — on a tunneled TPU, block_until_ready alone returns
     # before the remote computation finishes and wildly overstates
