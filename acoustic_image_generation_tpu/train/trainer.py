@@ -202,6 +202,9 @@ class Trainer:
         return {k: float(v) / count for k, v in sums.items()}
 
     def fit(self, train_loader, valid_loader, *, state: TrainState | None = None) -> TrainState:
+        """Epoch loop. When resuming from a restored ``state``, epoch
+        numbering continues from the step counter (the reference derives
+        start_epoch from global_step, ``trainer/trainer.py:250``)."""
         cfg = self.cfg
         os.makedirs(self.run_dir, exist_ok=True)
         cfg.save(os.path.join(self.run_dir, "configuration.txt"))
@@ -211,13 +214,19 @@ class Trainer:
         )
 
         first = None
+        start_epoch = 0
         if state is None:
             for first in train_loader.batches(0):
                 break
             assert first is not None, "empty training loader"
             state = self.init_state(first)
+        else:
+            steps_per_epoch = max(
+                train_loader.num_windows // train_loader.batch_size, 1
+            )
+            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
 
-        for epoch in range(cfg.optim.num_epochs):
+        for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
             t0 = time.time()
             n_steps = 0
             last_metrics: dict = {}

@@ -139,3 +139,49 @@ def test_fsdp_shards_state_across_mesh(tiny_dataset, tmp_path):
     new_state, metrics = trainer.train_step(state, raw)
     assert new_state.params["model"]["dense"]["kernel"].sharding.spec == P(None, "data")
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
+@pytest.mark.slow
+def test_resume_reproduces_uninterrupted_run(tiny_dataset, tmp_path):
+    """checkpoint/resume determinism: 1 epoch + save + restore + 1 epoch
+    equals 2 uninterrupted epochs bit-for-bit (keyed RNG policy + epoch
+    numbering continued from the step counter)."""
+    import dataclasses
+
+    import jax
+
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+
+    loaders = lambda: (
+        AcousticImageDataLoader(tiny_dataset["training"], "training", 8),
+        AcousticImageDataLoader(tiny_dataset["validation"], "validation", 8),
+    )
+
+    cfg2 = make_config(tmp_path / "full", encoder_type="Ac")
+    trainer = Trainer(ReconstructTask(cfg2), cfg2)
+    tr, va = loaders()
+    full = trainer.fit(tr, va)
+
+    cfg1 = dataclasses.replace(
+        cfg2,
+        optim=dataclasses.replace(cfg2.optim, num_epochs=1),
+        run=dataclasses.replace(cfg2.run, checkpoint_dir=str(tmp_path / "half")),
+    )
+    trainer1 = Trainer(ReconstructTask(cfg1), cfg1)
+    tr, va = loaders()
+    half = trainer1.fit(tr, va)
+    path = ckpt_mod.save_checkpoint(trainer1.run_dir, "half", half)
+
+    trainer2 = Trainer(ReconstructTask(cfg1), cfg1)
+    tr, va = loaders()
+    for first in tr.batches(0):
+        break
+    template = trainer2.init_state(first)
+    resumed_start = trainer2.restore(path, template)
+    resumed = trainer2.fit(tr, va, state=resumed_start)
+
+    a = jax.device_get(full.params)
+    b = jax.device_get(resumed.params)
+    chex = jax.tree_util.tree_map(lambda x, y: np.array_equal(x, y), a, b)
+    assert jax.tree_util.tree_all(chex)
+    assert int(full.step) == int(resumed.step) == 2
