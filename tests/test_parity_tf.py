@@ -498,3 +498,99 @@ def test_unet_video_matches_tf_checkpoint(tmp_path):
         {"params": merged_p, "batch_stats": merged_s}, x_np, sample=False, train=False
     )
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_latent_associator_matches_tf_checkpoint(tmp_path):
+    """AssociatorVideoAc MLP parity (multimodal.py:21-48): per-branch dense
+    stacks, softplus std head."""
+    rng = np.random.default_rng(6)
+    mean_np = rng.normal(size=(4, 1024)).astype(np.float32)
+    std_np = rng.random((4, 1024)).astype(np.float32)
+
+    hidden = [512, 512, 256, 256, 150]
+    ckpt_path = str(tmp_path / "assoc.ckpt")
+    with tf.Graph().as_default():
+        mean_in = v1.placeholder(tf.float32, (None, 1024))
+        std_in = v1.placeholder(tf.float32, (None, 1024))
+        with v1.variable_scope("AssociatorVideoAc"):
+            net = mean_in
+            for i, h in enumerate(hidden):
+                net = tf.nn.relu(_dense(net, h, f"mean_{i}"))
+            mean_out = _dense(net, 150, "mean_out")
+            net2 = std_in
+            for i, h in enumerate(hidden):
+                net2 = tf.nn.relu(_dense(net2, h, f"std_{i}"))
+            std_out = tf.nn.softplus(_dense(net2, 150, "std_out"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_mean, tf_std = sess.run(
+                [mean_out, std_out], {mean_in: mean_np, std_in: std_np}
+            )
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models.associators import (
+        VIDEO_AC_HIDDEN,
+        LatentAssociator,
+    )
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "AssociatorVideoAc")
+    model = LatentAssociator(VIDEO_AC_HIDDEN)
+    variables = model.init({"params": jax.random.key(0)}, mean_np, std_np)
+    merged = merge_into(variables["params"], params, strict=True)
+    got_mean, got_std = model.apply({"params": merged}, mean_np, std_np)
+    np.testing.assert_allclose(np.asarray(got_mean), tf_mean, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_std), tf_std, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_jointmvae_matches_tf_checkpoint(tmp_path):
+    """Jointmvae feature fuser parity (multimodal.py:287-320): per-position
+    dense trunk + relu heads."""
+    rng = np.random.default_rng(7)
+    f_ac = rng.normal(size=(2, 12, 16, 133)).astype(np.float32)
+    f_vi = rng.normal(size=(2, 12, 16, 512)).astype(np.float32)
+    f_au = rng.normal(size=(2, 12, 16, 128)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "jointmvae.ckpt")
+    with tf.Graph().as_default():
+        pa = v1.placeholder(tf.float32, (None, 12, 16, 133))
+        pv = v1.placeholder(tf.float32, (None, 12, 16, 512))
+        pu = v1.placeholder(tf.float32, (None, 12, 16, 128))
+        with v1.variable_scope("Jointmvae"):
+            net = tf.concat([pa, pv, pu], axis=-1)
+            for i in range(3):
+                net = tf.nn.relu(_dense4(net, 512, f"dense_{i}"))
+            out_ac = tf.nn.relu(_dense4(net, 133, "out_ac"))
+            out_vi = tf.nn.relu(_dense4(net, 512, "out_video"))
+            out_au = tf.nn.relu(_dense4(net, 128, "out_audio"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_ac, tf_vi, tf_au = sess.run(
+                [out_ac, out_vi, out_au], {pa: f_ac, pv: f_vi, pu: f_au}
+            )
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models.associators import JointMVAE
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "Jointmvae")
+    model = JointMVAE(heads=("ac", "video", "audio"))
+    variables = model.init({"params": jax.random.key(0)}, f_ac, f_vi, f_au)
+    merged = merge_into(variables["params"], params, strict=True)
+    got = model.apply({"params": merged}, f_ac, f_vi, f_au)
+    np.testing.assert_allclose(np.asarray(got["ac"]), tf_ac, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["video"]), tf_vi, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["audio"]), tf_au, rtol=2e-4, atol=2e-4)
+
+
+def _dense4(x, units, name):
+    """tf.layers.dense applied to a 4-D tensor (matmul on the last axis)."""
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "kernel", [int(x.shape[-1]), units],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        b = v1.get_variable("bias", [units], initializer=tf.zeros_initializer())
+        return tf.tensordot(x, k, axes=[[3], [0]]) + b
