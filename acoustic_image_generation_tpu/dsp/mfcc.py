@@ -15,10 +15,30 @@ All matmuls are MXU work; the chain vectorizes over arbitrary leading axes.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from acoustic_image_generation_tpu.dsp import mel as mel_mod
+
+
+@functools.cache
+def _dft_bases():
+    """Real-DFT as two matmul bases with the Tukey window folded in.
+
+    On TPU, ``jnp.fft.rfft(1024)`` deviates from NumPy by O(1) in the final
+    MFCCs (the XLA:TPU FFT is approximate), while a full-precision GEMM DFT
+    matches the oracle to ~1e-3 — and the MXU prefers the matmul anyway, so
+    the GEMM formulation is the default everywhere.
+    """
+    c = mel_mod.constants()
+    n = mel_mod.N_SAMPLES
+    k = np.arange(n)[:, None] * np.arange(mel_mod.FFT_LEN)[None, :] * (2.0 * np.pi / n)
+    cos_b = np.cos(k) * c.window[:, None]
+    sin_b = -np.sin(k) * c.window[:, None]
+    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
 
 
 def mfcc_from_frames(frames: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
@@ -28,24 +48,27 @@ def mfcc_from_frames(frames: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
       frames: (..., 1024) float or int audio samples.
 
     Returns:
-      (..., 12) float32 MFCC coefficients, bit-matching the reference's
-      NumPy pipeline to float32 tolerance.
+      (..., 12) float32 MFCC coefficients, matching the reference's NumPy
+      pipeline to float32 tolerance on every backend (GEMM-native DFT, see
+      ``_dft_bases``).
     """
-    c = mel_mod.constants()
-    x = frames.astype(dtype) * jnp.asarray(c.window, dtype)
-    # Power spectrum: |rfft|^2, dropping the Nyquist bin (ref line 803).
-    spec = jnp.fft.rfft(x, n=mel_mod.N_SAMPLES, axis=-1)[..., :-1]
-    power = jnp.square(jnp.abs(spec)).astype(dtype)
+    cos_b, sin_b = _dft_bases()
+    x = frames.astype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(x, cos_b, precision=hi)
+    im = jnp.matmul(x, sin_b, precision=hi)
+    power = (re * re + im * im).astype(dtype)
     return mfcc_from_power(power, dtype=dtype)
 
 
 def mfcc_from_power(power: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     """Mel/log/DCT/lifter tail of the frontend on a (..., 512) power spectrum."""
     c = mel_mod.constants()
-    melspec = power @ jnp.asarray(c.filter_mat, dtype)
+    hi = jax.lax.Precision.HIGHEST  # default bf16 MXU passes cost ~1% here
+    melspec = jnp.matmul(power, jnp.asarray(c.filter_mat, dtype), precision=hi)
     melspec = jnp.maximum(melspec, mel_mod.MELSPEC_FLOOR)
     logmel = jnp.log(melspec)
-    coeffs = logmel @ jnp.asarray(c.dct_lifter, dtype)
+    coeffs = jnp.matmul(logmel, jnp.asarray(c.dct_lifter, dtype), precision=hi)
     # Reference zeroes NaN/Inf (outdoor_data_mfcc.py:871-872).
     coeffs = jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)
     return coeffs

@@ -9,6 +9,9 @@ batched rFFT (VPU/MXU-friendly; no host py_func round trip).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +23,21 @@ FFT_LENGTH = 512
 def hann_periodic(n: int = FRAME_LENGTH) -> np.ndarray:
     """Periodic Hann window (tf.signal default)."""
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+@functools.cache
+def _dft_bases():
+    """Windowed real-DFT bases (GEMM-native; XLA:TPU's FFT is approximate
+    while a HIGHEST-precision matmul matches NumPy — and rides the MXU)."""
+    window = hann_periodic()
+    k = (
+        np.arange(FRAME_LENGTH)[:, None]
+        * np.arange(FFT_LENGTH // 2 + 1)[None, :]
+        * (2.0 * np.pi / FFT_LENGTH)
+    )
+    cos_b = np.cos(k) * window[:, None]
+    sin_b = -np.sin(k) * window[:, None]
+    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
 
 
 def stft_magnitude(wav: jnp.ndarray) -> jnp.ndarray:
@@ -35,10 +53,12 @@ def stft_magnitude(wav: jnp.ndarray) -> jnp.ndarray:
         np.arange(FRAME_LENGTH)[None, :]
         + FRAME_STEP * np.arange(num_frames)[:, None]
     )  # (frames, frame_length) static gather indices
-    frames = wav[..., idx]  # (..., frames, frame_length)
-    window = jnp.asarray(hann_periodic(), wav.dtype)
-    spec = jnp.fft.rfft(frames * window, n=FFT_LENGTH, axis=-1)
-    return jnp.abs(spec).astype(jnp.float32)
+    frames = wav[..., idx].astype(jnp.float32)  # (..., frames, frame_length)
+    cos_b, sin_b = _dft_bases()
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, cos_b, precision=hi)
+    im = jnp.matmul(frames, sin_b, precision=hi)
+    return jnp.sqrt(re * re + im * im).astype(jnp.float32)
 
 
 def stft_magnitude_numpy_oracle(wav: np.ndarray) -> np.ndarray:

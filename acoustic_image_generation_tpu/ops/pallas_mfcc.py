@@ -51,12 +51,15 @@ def _constants():
 
 def _kernel(x_ref, cos_ref, sin_ref, mel_ref, dct_ref, out_ref):
     x = x_ref[:]  # (TILE, 1024) — window is folded into the bases
-    re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(x, sin_ref[:], preferred_element_type=jnp.float32)
+    # full-f32 MXU passes: bf16 multiply passes lose ~8 mantissa bits
+    # in the cancelling DFT sums
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(x, sin_ref[:], preferred_element_type=jnp.float32, precision=hi)
     power = re * re + im * im  # (TILE, 512)
-    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32, precision=hi)
     logmel = jnp.log(jnp.maximum(melspec, mel_mod.MELSPEC_FLOOR))
-    coeffs = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
+    coeffs = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32, precision=hi)
     out_ref[:] = jnp.where(jnp.isfinite(coeffs), coeffs, 0.0)
 
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from acoustic_image_generation_tpu.dsp import spectrogram as spec_mod
 
-TILE = 16
+TILE = 8
 SECONDS_SAMPLES = 12 * 1024
 NFRAMES = 1 + (SECONDS_SAMPLES - spec_mod.FRAME_LENGTH) // spec_mod.FRAME_STEP  # 99
 NBINS = spec_mod.FFT_LENGTH // 2 + 1  # 257
@@ -40,24 +40,20 @@ def _constants():
     )
     cos_b = np.cos(k) * window[:, None]  # (246, 257), window folded in
     sin_b = -np.sin(k) * window[:, None]
-    idx = (
-        np.arange(spec_mod.FRAME_LENGTH)[None, :]
-        + spec_mod.FRAME_STEP * np.arange(NFRAMES)[:, None]
-    )
-    return (
-        jnp.asarray(cos_b, jnp.float32),
-        jnp.asarray(sin_b, jnp.float32),
-        jnp.asarray(idx, jnp.int32),
-    )
+    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
 
 
-def _kernel(wav_ref, cos_ref, sin_ref, idx_ref, out_ref):
-    # wav: (TILE, 12288) -> frames: (TILE, 99, 246) via static gather
-    wav = wav_ref[:]
-    frames = wav[:, idx_ref[:]]  # (TILE, 99, 246)
-    flat = frames.reshape(-1, spec_mod.FRAME_LENGTH)
-    re = jnp.dot(flat, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(flat, sin_ref[:], preferred_element_type=jnp.float32)
+def _kernel(wav_ref, cos_ref, sin_ref, out_ref, frames_ref):
+    # frame with static overlapping slices (Mosaic has no generic gather)
+    for i in range(NFRAMES):
+        start = i * spec_mod.FRAME_STEP
+        frames_ref[:, i, :] = wav_ref[:, start : start + spec_mod.FRAME_LENGTH]
+    flat = frames_ref[:].reshape(-1, spec_mod.FRAME_LENGTH)
+    # full-f32 MXU passes: the DFT cancels catastrophically in the
+    # default bf16 multiply passes (errors ~1% of peak magnitude)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(flat, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(flat, sin_ref[:], preferred_element_type=jnp.float32, precision=hi)
     mag = jnp.sqrt(re * re + im * im)
     out_ref[:] = mag.reshape(-1, NFRAMES, NBINS)
 
@@ -65,7 +61,7 @@ def _kernel(wav_ref, cos_ref, sin_ref, idx_ref, out_ref):
 def stft_pallas(wav: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """(..., 12288) float audio -> (..., 99, 257) magnitude spectrogram."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     lead = wav.shape[:-1]
     x = wav.reshape(-1, SECONDS_SAMPLES).astype(jnp.float32)
@@ -73,7 +69,7 @@ def stft_pallas(wav: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     n_pad = -n % TILE
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
-    cos_b, sin_b, idx = _constants()
+    cos_b, sin_b = _constants()
     grid = (x.shape[0] // TILE,)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
@@ -85,13 +81,15 @@ def stft_pallas(wav: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
             pl.BlockSpec((TILE, SECONDS_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             full(cos_b),
             full(sin_b),
-            full(idx),
         ],
         out_specs=pl.BlockSpec(
             (TILE, NFRAMES, NBINS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, NFRAMES, spec_mod.FRAME_LENGTH), jnp.float32)
+        ],
         interpret=interpret,
-    )(x, cos_b, sin_b, idx)
+    )(x, cos_b, sin_b)
     if n_pad:
         out = out[:n]
     return out.reshape(*lead, NFRAMES, NBINS)
