@@ -154,7 +154,8 @@ def cmd_extract(args) -> int:
     labels, scenario = [], []
     step = jax.jit(
         lambda raw, key: task.embeddings(
-            state.params, state.batch_stats, trainer._prepare(raw), key
+            state.params, state.batch_stats, trainer._prepare(raw), key,
+            use_mean=args.mean,
         )
     )
     for i, raw_batch in enumerate(loader.batches(0)):
@@ -310,6 +311,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("checkpoint")
     s.add_argument("out_dir")
     s.add_argument("--set", default="testing")
+    s.add_argument("--mean", action="store_true",
+                   help="export latent means instead of sampled z (mean.py)")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_extract)
 

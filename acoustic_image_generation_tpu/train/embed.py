@@ -250,12 +250,17 @@ class EmbedTask:
             "mse_video": mse_vi,
         }, (ac_out, au_out, vi_out)
 
-    def embeddings(self, params, batch_stats, batch: Batch, rng):
+    def embeddings(self, params, batch_stats, batch: Batch, rng, *, use_mean: bool = False):
         """Per-second latents for export / kNN / retrieval
-        (``extract_triplet.py``): z = mean + std * eps per modality."""
+        (``extract_triplet.py``): z = mean + std * eps per modality, or the
+        raw means with ``use_mean`` (``mean.py``'s meanAc/meanAudio/
+        meanVideo exports)."""
         _, (ac_out, au_out, vi_out), _ = self._forward(
             params, batch_stats, batch, {"latent": rng}, train=False
         )
-        eps = jax.random.normal(rng, ac_out.std.shape, jnp.float32)
-        z = lambda o: o.mean.astype(jnp.float32) + o.std.astype(jnp.float32) * eps
+        if use_mean:
+            z = lambda o: o.mean.astype(jnp.float32)
+        else:
+            eps = jax.random.normal(rng, ac_out.std.shape, jnp.float32)
+            z = lambda o: o.mean.astype(jnp.float32) + o.std.astype(jnp.float32) * eps
         return {"acoustic": z(ac_out), "audio": z(au_out), "video": z(vi_out)}
