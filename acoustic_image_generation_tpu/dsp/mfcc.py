@@ -38,7 +38,10 @@ def _dft_bases():
     k = np.arange(n)[:, None] * np.arange(mel_mod.FFT_LEN)[None, :] * (2.0 * np.pi / n)
     cos_b = np.cos(k) * c.window[:, None]
     sin_b = -np.sin(k) * c.window[:, None]
-    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
+    # cache NUMPY, not jnp: a jnp array materialized inside a jit trace is a
+    # tracer, and caching it leaks the trace (UnexpectedTracerError on the
+    # next jit). Converted at the use site (constant-folded by jit).
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
 
 
 def mfcc_from_frames(frames: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
@@ -52,11 +55,11 @@ def mfcc_from_frames(frames: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
       pipeline to float32 tolerance on every backend (GEMM-native DFT, see
       ``_dft_bases``).
     """
-    cos_b, sin_b = _dft_bases()
+    cos_np, sin_np = _dft_bases()
     x = frames.astype(dtype)
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(x, cos_b, precision=hi)
-    im = jnp.matmul(x, sin_b, precision=hi)
+    re = jnp.matmul(x, jnp.asarray(cos_np), precision=hi)
+    im = jnp.matmul(x, jnp.asarray(sin_np), precision=hi)
     power = (re * re + im * im).astype(dtype)
     return mfcc_from_power(power, dtype=dtype)
 

@@ -37,7 +37,8 @@ def _dft_bases():
     )
     cos_b = np.cos(k) * window[:, None]
     sin_b = -np.sin(k) * window[:, None]
-    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
+    # numpy, not jnp: see dsp/mfcc._dft_bases on tracer-leaking caches
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
 
 
 def stft_magnitude(wav: jnp.ndarray) -> jnp.ndarray:
@@ -54,10 +55,10 @@ def stft_magnitude(wav: jnp.ndarray) -> jnp.ndarray:
         + FRAME_STEP * np.arange(num_frames)[:, None]
     )  # (frames, frame_length) static gather indices
     frames = wav[..., idx].astype(jnp.float32)  # (..., frames, frame_length)
-    cos_b, sin_b = _dft_bases()
+    cos_np, sin_np = _dft_bases()
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(frames, cos_b, precision=hi)
-    im = jnp.matmul(frames, sin_b, precision=hi)
+    re = jnp.matmul(frames, jnp.asarray(cos_np), precision=hi)
+    im = jnp.matmul(frames, jnp.asarray(sin_np), precision=hi)
     return jnp.sqrt(re * re + im * im).astype(jnp.float32)
 
 

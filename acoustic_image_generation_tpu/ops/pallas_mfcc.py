@@ -41,11 +41,12 @@ def _constants():
     k = np.arange(N)[:, None] * np.arange(NBINS)[None, :] * (2.0 * np.pi / N)
     cos_b = np.cos(k) * c.window[:, None]  # fold the Tukey window into the DFT
     sin_b = -np.sin(k) * c.window[:, None]
+    # numpy, not jnp: see dsp/mfcc._dft_bases on tracer-leaking caches
     return (
-        jnp.asarray(cos_b, jnp.float32),
-        jnp.asarray(sin_b, jnp.float32),
-        jnp.asarray(c.filter_mat, jnp.float32),  # (512, 24)
-        jnp.asarray(c.dct_lifter, jnp.float32),  # (24, 12)
+        cos_b.astype(np.float32),
+        sin_b.astype(np.float32),
+        np.asarray(c.filter_mat, np.float32),  # (512, 24)
+        np.asarray(c.dct_lifter, np.float32),  # (24, 12)
     )
 
 
@@ -79,7 +80,7 @@ def mfcc_pallas(frames: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
     grid = (x.shape[0] // TILE,)
-    cos_b, sin_b, mel_b, dct_b = _constants()
+    cos_b, sin_b, mel_b, dct_b = (jnp.asarray(a) for a in _constants())
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -40,7 +40,8 @@ def _constants():
     )
     cos_b = np.cos(k) * window[:, None]  # (246, 257), window folded in
     sin_b = -np.sin(k) * window[:, None]
-    return jnp.asarray(cos_b, jnp.float32), jnp.asarray(sin_b, jnp.float32)
+    # numpy, not jnp: see dsp/mfcc._dft_bases on tracer-leaking caches
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
 
 
 def _kernel(wav_ref, cos_ref, sin_ref, out_ref, frames_ref):
@@ -69,7 +70,7 @@ def stft_pallas(wav: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     n_pad = -n % TILE
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
-    cos_b, sin_b = _constants()
+    cos_b, sin_b = (jnp.asarray(a) for a in _constants())
     grid = (x.shape[0] // TILE,)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
