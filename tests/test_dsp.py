@@ -156,3 +156,24 @@ class TestFindLogen:
         en = np.asarray(energy.find_logen(jnp.asarray(coeffs)))
         assert np.isfinite(en).all()
         assert (en > 0).all()
+
+
+def test_constant_caches_are_jit_safe():
+    """Regression: cached DSP constants must not capture tracers when the
+    FIRST call happens inside a jit trace (UnexpectedTracerError otherwise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acoustic_image_generation_tpu.dsp import mfcc as mfcc_mod
+    from acoustic_image_generation_tpu.dsp import spectrogram as spec_mod
+
+    mfcc_mod._dft_bases.cache_clear()
+    spec_mod._dft_bases.cache_clear()
+
+    x = jnp.zeros((4, 1024))
+    w = jnp.zeros((2, 12288))
+    # first touch inside jit, then reuse in a SECOND independent jit
+    jax.jit(mfcc_mod.mfcc_from_frames)(x).block_until_ready()
+    jax.jit(lambda v: mfcc_mod.mfcc_from_frames(v) + 1)(x).block_until_ready()
+    jax.jit(spec_mod.stft_magnitude)(w).block_until_ready()
+    jax.jit(lambda v: spec_mod.stft_magnitude(v) + 1)(w).block_until_ready()
