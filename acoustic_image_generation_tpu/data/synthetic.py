@@ -104,7 +104,15 @@ def write_synthetic_dataset(
                 cy = rng.uniform(6, ACOUSTIC_H - 6)
                 cx = rng.uniform(6, ACOUSTIC_W - 6)
                 blob = np.exp(-(((yy - cy) ** 2) + ((xx - cx) ** 2)) / (2 * 4.0**2))
-                per_ch = 0.5 + 0.5 * rng.random(num_channels).astype(np.float32)
+                # class-DEPENDENT channel profile (survives the loaders'
+                # per-frame min-max normalization, so classifiers can learn)
+                ch = np.arange(num_channels)
+                profile = 0.35 + 0.65 * np.abs(
+                    np.sin(np.pi * (c + 1) * (ch + 0.5) / num_channels)
+                )
+                per_ch = (profile * (0.9 + 0.2 * rng.random(num_channels))).astype(
+                    np.float32
+                )
                 acoustic = (
                     blob[None, :, :, None] * per_ch[None, None, None, :]
                     + 0.05 * rng.random(
