@@ -54,8 +54,8 @@ def _load() -> ctypes.CDLL | None:
             _build_failed = True
             return None
         lib = ctypes.CDLL(_LIB)
-        lib.aig_decode_file.restype = ctypes.c_int
-        lib.aig_decode_file.argtypes = [
+        lib.aig_decode_file_v.restype = ctypes.c_int
+        lib.aig_decode_file_v.argtypes = [
             ctypes.c_char_p,
             ctypes.c_void_p, ctypes.c_int64,  # acoustic
             ctypes.c_void_p, ctypes.c_int64,  # audio
@@ -63,6 +63,7 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),  # action
             ctypes.POINTER(ctypes.c_int32),  # location
             ctypes.POINTER(ctypes.c_int32),  # frames
+            ctypes.c_int,  # verify_crc
         ]
         lib.aig_last_error.restype = ctypes.c_char_p
         _lib = lib
@@ -78,9 +79,15 @@ def decode_file_into(
     acoustic: np.ndarray | None,  # (F, 36, 48, C) float32, C-contiguous
     audio: np.ndarray | None,  # (F, 1024) int32
     video: np.ndarray | None,  # (F, 224, 298, 3) uint8
+    *,
+    verify_crc: bool | None = None,
 ) -> tuple[int, int, int]:
     """Decode one shard into the given frame slabs. Returns
-    (action, location, frames_decoded). Raises on decode errors."""
+    (action, location, frames_decoded). Raises on decode errors.
+
+    ``verify_crc`` checks the TFRecord masked CRC32-C framing checksums
+    (length + payload) — worth enabling for uncompressed re-shards, which
+    lack gzip's stream CRC; defaults to the ``AIG_VERIFY_CRC`` env var."""
     lib = _load()
     assert lib is not None, "native ingest unavailable"
     act = ctypes.c_int32(-1)
@@ -96,9 +103,12 @@ def decode_file_into(
     ac_p, ac_n = buf(acoustic)
     au_p, au_n = buf(audio)
     vi_p, vi_n = buf(video)
-    rc = lib.aig_decode_file(
+    if verify_crc is None:
+        verify_crc = os.environ.get("AIG_VERIFY_CRC", "0") == "1"
+    rc = lib.aig_decode_file_v(
         path.encode(), ac_p, ac_n, au_p, au_n, vi_p, vi_n,
         ctypes.byref(act), ctypes.byref(loc), ctypes.byref(frames),
+        1 if verify_crc else 0,
     )
     if rc != 0:
         raise IOError(f"native decode failed for {path}: "

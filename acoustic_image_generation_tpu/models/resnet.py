@@ -23,6 +23,7 @@ ImageNet weights 1:1.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.nn.initializers import variance_scaling
 
@@ -136,6 +137,16 @@ class ResNet50(nn.Module):
     # HBM drops from ~21 GB to well under v5e's 16 GB at 384-frame batches,
     # buying batch (and throughput) for ~1/3 extra forward FLOPs.
     remat: bool = False
+    # The reference NEVER trains the trunk: every trainer optimizes
+    # ``vision.py:70`` ``train_vars`` = logits + conv_map only (the
+    # ``train_vars2`` backbone list at ``vision.py:68`` has no consumer —
+    # verified by grep over trainer/*.py). ``freeze_trunk`` reproduces that
+    # gradient structure with a stop_gradient before conv_map, which also
+    # lets XLA drop the whole trunk backward pass (~2/3 of the ResNet
+    # FLOPs in the flagship train step). BN statistics still update in
+    # train mode, exactly like the reference's UPDATE_OPS dependency
+    # (``mfcctrainer.py:75-79``).
+    freeze_trunk: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -157,6 +168,8 @@ class ResNet50(nn.Module):
                     name=f"block{b}_unit_{u}",
                     dtype=self.dtype,
                 )(net, train)
+        if self.freeze_trunk:
+            net = jax.lax.stop_gradient(net)
         net = _ConvBN(12, (3, 4), 1, padding="VALID", name="conv_map", dtype=self.dtype)(
             net, train=train
         )

@@ -39,13 +39,32 @@ class GenerationTask:
         ch = config.data.num_channels
         u = config.model.resnet_units
         blocks = ((64, u[0], 1), (128, u[1], 2), (256, u[2], 2), (512, u[3], 1))
-        self.resnet = ResNet50(blocks=blocks, dtype=dt)
+        # freeze_trunk: the reference optimizes var_list = UNet vars +
+        # conv_map/logits only (mfcctrainer.py:64, vision.py:70) — the
+        # ImageNet backbone is a frozen feature extractor whose BN stats
+        # still update. Freezing also removes the trunk backward pass.
+        self.resnet = ResNet50(blocks=blocks, dtype=dt, freeze_trunk=True)
         self.generator = UNetAcResNet(
             channels=ch,
             skips=config.model.num_skip_conn,
             embedding=config.model.ae,
             dtype=dt,
         )
+
+    # ---------------------------------------------------------------- freeze
+
+    @staticmethod
+    def param_labels(params):
+        """optax.multi_transform labels matching the reference's
+        ``var_list`` (mfcctrainer.py:64): the generator and the ResNet's
+        conv_map/logits heads train; the backbone gets no Adam slots."""
+        return {
+            "generator": "train",
+            "resnet": {
+                k: ("train" if k in ("conv_map", "logits") else "frozen")
+                for k in params["resnet"]
+            },
+        }
 
     # ------------------------------------------------------------------ init
 

@@ -39,7 +39,9 @@ def main() -> None:
     from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
 
     import os  # noqa: PLC0415
-    clips = int(os.environ.get("AIG_BENCH_CLIPS", "16"))
+    # 64-clip default: measured 177.7 (16) / 183.6 (32) / 186.5 (64)
+    # clips/sec/chip with the frozen trunk — compute-bound past 32.
+    clips = int(os.environ.get("AIG_BENCH_CLIPS", "64"))
     mode = os.environ.get("AIG_BENCH_MODE", "train")  # train | infer
     frames = 12 * clips
     rng = np.random.default_rng(0)
@@ -49,7 +51,10 @@ def main() -> None:
     action = np.zeros((frames,), np.int32)
 
     remat = os.environ.get("AIG_BENCH_REMAT", "0") == "1"
-    resnet = ResNet50(dtype=jnp.bfloat16, remat=remat)
+    # freeze_trunk matches the reference trainer: var_list is UNet +
+    # conv_map/logits only (mfcctrainer.py:64, vision.py:70), so the
+    # ImageNet backbone contributes forward FLOPs only.
+    resnet = ResNet50(dtype=jnp.bfloat16, remat=remat, freeze_trunk=True)
     generator = UNetAcResNet(skips=1, dtype=jnp.bfloat16)
 
     @jax.jit
@@ -63,7 +68,12 @@ def main() -> None:
         return {"resnet": rv["params"], "generator": gv["params"]}, rv["batch_stats"]
 
     params, batch_stats = init()
-    tx = optax.adam(1e-4)
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+
+    tx = optax.multi_transform(
+        {"train": optax.adam(1e-4), "frozen": optax.set_to_zero()},
+        GenerationTask.param_labels,
+    )
     opt_state = jax.jit(tx.init)(params)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))

@@ -39,6 +39,56 @@ int fail(const std::string& msg) {
   return -1;
 }
 
+// ----------------------------------------------------------------- crc32c
+//
+// TFRecord framing checksums use CRC32-C (Castagnoli, reflected poly
+// 0x82F63B78) with the "masked" form ((crc >> 15 | crc << 17) + 0xa282ead8).
+// Slicing-by-8 table implementation; tables built once on first use.
+
+uint32_t g_crc_tab[8][256];
+bool g_crc_init = false;
+
+void crc32c_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c >> 1) ^ (0x82F63B78u & (0u - (c & 1)));
+    g_crc_tab[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = g_crc_tab[0][i];
+    for (int t = 1; t < 8; ++t) {
+      c = g_crc_tab[0][c & 0xFF] ^ (c >> 8);
+      g_crc_tab[t][i] = c;
+    }
+  }
+  g_crc_init = true;
+}
+
+uint32_t crc32c(const uint8_t* p, size_t len) {
+  if (!g_crc_init) crc32c_init();
+  uint32_t c = 0xFFFFFFFFu;
+  while (len >= 8) {
+    uint32_t lo;
+    uint32_t hi;
+    std::memcpy(&lo, p, 4);
+    std::memcpy(&hi, p + 4, 4);
+    lo ^= c;
+    c = g_crc_tab[7][lo & 0xFF] ^ g_crc_tab[6][(lo >> 8) & 0xFF] ^
+        g_crc_tab[5][(lo >> 16) & 0xFF] ^ g_crc_tab[4][lo >> 24] ^
+        g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+        g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+    p += 8;
+    len -= 8;
+  }
+  while (len--) c = g_crc_tab[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+  return c ^ 0xFFFFFFFFu;
+}
+
+uint32_t masked_crc32c(const uint8_t* p, size_t len) {
+  uint32_t c = crc32c(p, len);
+  return ((c >> 15) | (c << 17)) + 0xa282ead8u;
+}
+
 // ------------------------------------------------------------ gzip inflate
 
 // Read a shard into memory, inflating when gzip-compressed (detected by
@@ -356,10 +406,11 @@ extern "C" {
 // Decode one GZIP TFRecord shard (every SequenceExample record in the file,
 // frames appended in order) into caller buffers. Null data pointers skip
 // that modality. Returns 0 on success, -1 on error (see aig_last_error).
-int aig_decode_file(const char* path, float* acoustic, int64_t acoustic_bytes,
-                    int32_t* audio, int64_t audio_bytes, uint8_t* video,
-                    int64_t video_bytes, int32_t* action, int32_t* location,
-                    int32_t* frames_out) {
+int aig_decode_file_v(const char* path, float* acoustic,
+                      int64_t acoustic_bytes, int32_t* audio,
+                      int64_t audio_bytes, uint8_t* video, int64_t video_bytes,
+                      int32_t* action, int32_t* location, int32_t* frames_out,
+                      int verify_crc) {
   std::vector<uint8_t> raw;
   if (read_gzip_file(path, &raw) != 0) return -1;
 
@@ -387,15 +438,36 @@ int aig_decode_file(const char* path, float* acoustic, int64_t acoustic_bytes,
     if (p + 12 > end) return fail("truncated record header");
     uint64_t len;
     std::memcpy(&len, p, 8);
-    p += 12;  // skip length crc
+    if (verify_crc) {
+      uint32_t want;
+      std::memcpy(&want, p + 8, 4);
+      if (masked_crc32c(p, 8) != want) return fail("length crc mismatch");
+    }
+    p += 12;  // length + masked length-crc
     if (p + len + 4 > end) return fail("truncated record payload");
+    if (verify_crc) {
+      uint32_t want;
+      std::memcpy(&want, p + len, 4);
+      if (masked_crc32c(p, size_t(len)) != want)
+        return fail("payload crc mismatch");
+    }
     if (decode_sequence_example(p, size_t(len), t) != 0) return -1;
-    p += len + 4;  // skip payload crc
+    p += len + 4;  // payload + masked payload-crc
   }
   *frames_out = fa ? fa : (fu ? fu : fv);
   if ((acoustic && fa == 0) && (audio && fu == 0) && (video && fv == 0))
     return fail("no frames decoded");
   return 0;
+}
+
+// Back-compat entry point (no CRC verification).
+int aig_decode_file(const char* path, float* acoustic, int64_t acoustic_bytes,
+                    int32_t* audio, int64_t audio_bytes, uint8_t* video,
+                    int64_t video_bytes, int32_t* action, int32_t* location,
+                    int32_t* frames_out) {
+  return aig_decode_file_v(path, acoustic, acoustic_bytes, audio, audio_bytes,
+                           video, video_bytes, action, location, frames_out,
+                           /*verify_crc=*/0);
 }
 
 const char* aig_last_error() { return g_error.c_str(); }

@@ -47,6 +47,34 @@ def test_native_decode_single_file(dataset):
     assert np.any(acoustic != 0) and np.any(audio != 0)
 
 
+def test_native_crc_verification(dataset, tmp_path):
+    """Masked CRC32-C framing checks: a clean uncompressed re-shard passes,
+    a single flipped payload byte is caught (gzip shards carry their own
+    stream CRC; uncompressed ones rely on this check)."""
+    from acoustic_image_generation_tpu.data import tfrecord
+
+    with open(dataset["training"]) as f:
+        src = f.readline().strip()
+    records = list(tfrecord.read_records(src))
+    clean = tmp_path / "clean.tfrecord"
+    tfrecord.write_records(str(clean), records, compression=None)
+
+    audio = np.zeros((12, 1024), np.int32)
+    _, _, frames = native.decode_file_into(str(clean), None, audio, None,
+                                           verify_crc=True)
+    assert frames == 12
+
+    blob = bytearray(clean.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF  # somewhere inside a record payload
+    bad = tmp_path / "bad_crc.tfrecord"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(IOError, match="crc"):
+        native.decode_file_into(str(bad), None, audio, None, verify_crc=True)
+    # python codec agrees
+    with pytest.raises(IOError, match="crc"):
+        tfrecord.read_records(str(bad), verify_crc=True)
+
+
 def test_native_error_on_garbage(tmp_path):
     bad = tmp_path / "bad.tfrecord"
     bad.write_bytes(b"not a gzip file at all")

@@ -99,10 +99,29 @@ def test_generation_step_and_eval(tiny_dataset, tmp_path):
     for raw in loader.batches(0):
         break
     state = trainer.init_state(raw)
+    import jax
+
+    p_before = jax.device_get(state.params)  # state buffers are donated
     s1, metrics = trainer.train_step(state, raw)
     m = {k: float(v) for k, v in metrics.items()}
     assert np.isfinite(m["loss"]) and np.isfinite(m["mse"])
     assert int(s1.step) == 1
+    # Reference gradient structure (mfcctrainer.py:64, vision.py:68-70):
+    # the ResNet trunk is frozen bit-exactly; conv_map and the generator
+    # train.
+    p_after = jax.device_get(s1.params)
+    for k, sub in p_before["resnet"].items():
+        pairs = zip(
+            jax.tree_util.tree_leaves(sub),
+            jax.tree_util.tree_leaves(p_after["resnet"][k]),
+        )
+        unchanged = all(np.array_equal(a, b) for a, b in pairs)
+        assert unchanged == (k not in ("conv_map", "logits")), k
+    gen_pairs = zip(
+        jax.tree_util.tree_leaves(p_before["generator"]),
+        jax.tree_util.tree_leaves(p_after["generator"]),
+    )
+    assert not all(np.array_equal(a, b) for a, b in gen_pairs)
     val = trainer.evaluate(s1, loader)
     assert {"mse", "mse0", "mse1", "mse2", "mse3"} <= set(val)
     assert np.isfinite(val["mse"])
