@@ -69,6 +69,41 @@ def read_wav(path: str) -> np.ndarray:
     return data.astype(np.int32)
 
 
+NUM_MICS = 128
+
+
+def read_dc_frame(path: str, *, num_mics: int = NUM_MICS,
+                  num_samples: int = 1024) -> np.ndarray:
+    """One raw dualcam audio capture (``A_{N:06d}.dc``): int32
+    (mics, samples) stored Fortran-order (``video.py:41``)."""
+    data = np.fromfile(path, np.int32)
+    return data.reshape((num_mics, num_samples), order="F")
+
+
+def mux_mic_wav(data_dir: str, out_path: str, mic_id: int,
+                *, audio_subdir: str = "audio") -> str:
+    """Extract one microphone's track from a capture's ``.dc`` files and
+    write it as a normalized wav — the live path of the reference's
+    ``video.py:29-54`` (its video/ffmpeg muxing half is commented out
+    upstream). Reference quirks kept: files are 1-indexed, the waveform is
+    peak-normalized to [-1, 1] (float samples), and the rate is written as
+    ``_FPS * 1000`` = 12000 Hz (not the true 12288)."""
+    from scipy.io import wavfile
+
+    audio_dir = os.path.join(data_dir, audio_subdir)
+    num_files = len([n for n in os.listdir(audio_dir) if n.endswith(".dc")])
+    tracks = [
+        read_dc_frame(os.path.join(audio_dir, f"A_{h + 1:06d}.dc"))[mic_id]
+        for h in range(num_files)
+    ]
+    flat = np.concatenate(tracks).astype(np.float32)
+    peak = abs(max(flat.min(), flat.max(), key=abs))
+    flat = flat / peak if peak else flat
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    wavfile.write(out_path, FRAMES_PER_SECOND * 1000, flat)
+    return out_path
+
+
 def make_second_example(
     *,
     classes: int,

@@ -140,3 +140,32 @@ def test_reshard_uncompressed_roundtrip(tmp_path):
             AcousticImageDataLoader(new_list, "testing", 2, use_native=True).batches(0)
         ))
         np.testing.assert_array_equal(a.audio, c.audio)
+
+
+def test_mux_mic_wav_from_dc_captures(tmp_path):
+    """video.py capability: raw 128-mic .dc captures -> one mic's
+    peak-normalized wav track (Fortran-order int32 frames, 1-indexed)."""
+    from scipy.io import wavfile
+
+    from acoustic_image_generation_tpu.data.convert import mux_mic_wav, read_dc_frame
+
+    rng = np.random.default_rng(0)
+    audio_dir = tmp_path / "cap" / "audio"
+    audio_dir.mkdir(parents=True)
+    frames = rng.integers(-(2**20), 2**20, (3, 128, 1024)).astype(np.int32)
+    for h, frame in enumerate(frames):
+        # Fortran order on disk, as the dualcam writes them (video.py:41)
+        frame.flatten(order="F").tofile(audio_dir / f"A_{h + 1:06d}.dc")
+
+    # the .dc reader inverts the disk layout exactly
+    np.testing.assert_array_equal(
+        read_dc_frame(str(audio_dir / "A_000001.dc")), frames[0]
+    )
+
+    out = mux_mic_wav(str(tmp_path / "cap"), str(tmp_path / "out" / "track.wav"), 5)
+    rate, data = wavfile.read(out)
+    assert rate == 12000
+    expected = np.concatenate([f[5] for f in frames]).astype(np.float32)
+    expected = expected / abs(max(expected.min(), expected.max(), key=abs))
+    np.testing.assert_allclose(data, expected, rtol=1e-6)
+    assert abs(data).max() <= 1.0
