@@ -130,7 +130,11 @@ def main() -> None:
 
         out = serve(params, batch_stats, args[1], args[2], jax.random.key(0))
         float(jnp.sum(out))
-        n_steps = int(os.environ.get("AIG_BENCH_STEPS", "10"))
+        # serving needs more steps than train to reach steady state: there
+        # is no donated-buffer dependency chain, so the first dispatches
+        # pay pipeline-fill costs (measured: 177 clips/s at 10 steps vs
+        # 243.8 at 40 on the tunneled chip)
+        n_steps = int(os.environ.get("AIG_BENCH_STEPS", "40"))
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
         for i in range(n_steps):
