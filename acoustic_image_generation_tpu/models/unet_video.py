@@ -91,7 +91,11 @@ class UNetVideo(nn.Module):
 
 
 class UNetEnergy(nn.Module):
-    """Scope ``UNetEnergy`` — 36x48x1 energy-map UNet with skip concats."""
+    """Scope ``UNetEnergy`` — 36x48x1 energy-map UNet with skip concats.
+
+    No batch norm anywhere: the reference's BN lines are commented out in
+    this file (``unet_architecture_energy.py:157-158,171-172``), unlike the
+    video/sound UNets."""
 
     dtype: jnp.dtype | None = None
 
@@ -100,7 +104,7 @@ class UNetEnergy(nn.Module):
         dt = self.dtype
 
         def ccp(filters, name, pool=False, **kw):
-            return ConvConvPool(filters, pool=pool, batch_norm=True, name=name, dtype=dt, **kw)
+            return ConvConvPool(filters, pool=pool, name=name, dtype=dt, **kw)
 
         conv1, pool1 = ccp((16, 16), "layer1", pool=True)(x, train=train)  # 18x24
         conv2, pool2 = ccp((16, 16), "layer2", pool=True)(pool1, train=train)  # 9x12

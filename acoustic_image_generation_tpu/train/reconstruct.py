@@ -48,8 +48,10 @@ class ReconstructTask:
             self.model = UNetAcoustic(channels=config.data.num_channels, dtype=dt)
             self.has_bn = False
         elif self.encoder_type == "Energy":
+            # BN-less: the reference comments BN out in this file
+            # (unet_architecture_energy.py:157-158,171-172)
             self.model = UNetEnergy(dtype=dt)
-            self.has_bn = True
+            self.has_bn = False
         elif self.encoder_type == "Audio":
             self.model = UNetSound(variant="small", dtype=dt)
             self.has_bn = True

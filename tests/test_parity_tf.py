@@ -594,3 +594,218 @@ def _dense4(x, units, name):
         )
         b = v1.get_variable("bias", [units], initializer=tf.zeros_initializer())
         return tf.tensordot(x, k, axes=[[3], [0]]) + b
+
+
+def _ccp_nobn(net, filters, name, pool=False, pool_k=(3, 3), pool_pad="SAME"):
+    """unet_architecture_energy.py conv_conv_pool: convs 3x3 SAME + ReLU
+    (BN commented out upstream), pool = stride-2 conv + ReLU."""
+    with v1.variable_scope(f"layer{name}"):
+        for i in range(2):
+            net = tf.nn.relu(_conv2d(net, filters, (3, 3), f"conv_{i + 1}"))
+        if not pool:
+            return net
+        p = _conv2d(net, filters, pool_k, "pool_2", strides=(2, 2), padding=pool_pad)
+        return net, tf.nn.relu(p)
+
+
+@pytest.mark.slow
+def test_unet_energy_matches_tf_checkpoint(tmp_path):
+    """Energy-map UNet (unet_architecture_energy.py:49-95): BN-less conv
+    pairs, (3,5)-VALID pool to the 4x4x8 bottleneck whose flattening IS the
+    latent (mean == variance == reshape), rectangular (3,6) deconv, three
+    skip concats, ReLU final."""
+    rng = np.random.default_rng(7)
+    x_np = rng.random((2, 36, 48, 1)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetenergy.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 36, 48, 1))
+        with v1.variable_scope("UNetEnergy"):
+            conv1, pool1 = _ccp_nobn(x, 16, "1", pool=True)          # 18x24
+            conv2, pool2 = _ccp_nobn(pool1, 16, "2", pool=True)      # 9x12
+            conv3, pool3 = _ccp_nobn(
+                pool2, 8, "3", pool=True, pool_k=(3, 5), pool_pad="VALID"
+            )                                                        # 4x4
+            conv4 = _ccp_nobn(pool3, 8, "4")
+            mean = tf.reshape(conv4, (-1, 128))                      # z = mean
+            net = tf.reshape(mean, (-1, 4, 4, 8))
+            up6 = _deconv_rect(net, 8, 3, 6, 2, "upsample_6")        # 9x12
+            net = _ccp_nobn(tf.concat([up6, conv3], -1), 8, "6")
+            net = _ccp_nobn(net, 8, "6_2")
+            up7 = _deconv_rect(net, 16, 2, 2, 2, "upsample_7")       # 18x24
+            net = _ccp_nobn(tf.concat([up7, conv2], -1), 16, "7")
+            net = _ccp_nobn(net, 16, "7_2")
+            up8 = _deconv_rect(net, 16, 2, 2, 2, "upsample_8")       # 36x48
+            net = _ccp_nobn(tf.concat([up8, conv1], -1), 16, "8")
+            net = _ccp_nobn(net, 8, "8_2")
+            out = tf.nn.relu(_conv2d(net, 1, (3, 3), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out, tf_mean = sess.run([out, mean], {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetEnergy
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "UNetEnergy")
+    assert not stats, "energy UNet has no batch norm"
+    model = UNetEnergy()
+    variables = model.init({"params": jax.random.key(0)}, x_np)
+    merged = merge_into(variables["params"], params, strict=True)
+    got = model.apply({"params": merged}, x_np, sample=False)
+    np.testing.assert_allclose(np.asarray(got.mean), tf_mean, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_unet_z_external_latent_matches_tf_checkpoint(tmp_path):
+    """unet_z.py (UNetzvariable): same weight structure as the acoustic
+    VAE, but the decoder consumes another modality's (mean2, std2)
+    (``unet_z.py:63``, z = mean2 with the noise zeroed for parity)."""
+    rng = np.random.default_rng(11)
+    x_np = rng.random((2, 36, 48, 12)).astype(np.float32)
+    mean2_np = rng.standard_normal((2, 150)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetz.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        mean2 = v1.placeholder(tf.float32, (None, 150))
+        with v1.variable_scope("UNetAcoustic"):
+            conv1, pool1 = _conv_conv_pool(x, 128, "1", pool=True)
+            conv2 = _conv_conv_pool(pool1, 133, "3")
+            enc_mean = tf.reshape(
+                _conv2d(conv2, 150, (12, 16), "mean", padding="VALID"), (-1, 150)
+            )
+            _ = _conv2d(conv2, 150, (12, 16), "std", padding="VALID")
+            net = tf.nn.relu(_dense(mean2, 12 * 16 * 12))  # decode external z
+            net = tf.reshape(net, (-1, 12, 16, 12))
+            net = tf.nn.relu(_conv2d(net, 133, (3, 3), "conv2d"))
+            up1 = _deconv(net, 128, 2, 3, "upsample_1")
+            conv4 = _conv_conv_pool(up1, 128, "4")
+            conv5 = _conv_conv_pool(conv4, 128, "5")
+            out = tf.sigmoid(_conv2d(conv5, 12, (3, 3), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out, tf_enc_mean = sess.run(
+                [out, enc_mean], {x: x_np, mean2: mean2_np}
+            )
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetAcoustic
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, _ = import_scope(ckpt, "UNetAcoustic")
+    model = UNetAcoustic()
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x_np
+    )
+    merged = merge_into(variables["params"], params, strict=True)
+    std2 = np.ones_like(mean2_np)
+    got = model.apply(
+        {"params": merged}, x_np, external_latent=(mean2_np, std2), sample=False
+    )
+    # encoder still runs (its mean/std feed the associator losses)
+    np.testing.assert_allclose(np.asarray(got.mean), tf_enc_mean, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_associator_audio_encoder_matches_tf_checkpoint(tmp_path):
+    """AssociatorAudio (multimodal.py:139-204): BN conv encoder from the
+    193x257 spectrogram straight to a (mean, softplus std) acoustic latent;
+    layer1's pool conv is VALID."""
+    rng = np.random.default_rng(13)
+    x_np = rng.random((2, 193, 257, 1)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "assoc_audio.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 193, 257, 1))
+        with v1.variable_scope("AssociatorAudio"):
+            _, p1 = _ccp_bn(x, 16, "1", pool=True, pool_pad="VALID")
+            _, p2 = _ccp_bn(p1, 16, "2", pool=True)
+            _, p3 = _ccp_bn(p2, 64, "3", pool=True)
+            _, p4 = _ccp_bn(p3, 128, "4", pool=True)
+            conv5 = _ccp_bn(p4, 128, "5")
+            mean = tf.reshape(
+                _conv2d(conv5, 150, (12, 16), "mean", padding="VALID"), (-1, 150)
+            )
+            std = tf.nn.softplus(
+                tf.reshape(
+                    _conv2d(conv5, 150, (12, 16), "std", padding="VALID"), (-1, 150)
+                )
+            )
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_mean, tf_std = sess.run([mean, std], {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models.associators import AssociatorAudioEncoder
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "AssociatorAudio")
+    model = AssociatorAudioEncoder()
+    variables = model.init({"params": jax.random.key(0)}, x_np, train=False)
+    merged = merge_into(variables["params"], params, strict=True)
+    merged_stats = merge_into(variables["batch_stats"], stats, strict=True)
+    got_mean, got_std = model.apply(
+        {"params": merged, "batch_stats": merged_stats}, x_np, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got_mean), tf_mean, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_std), tf_std, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_unet_sound_large_matches_tf_checkpoint(tmp_path):
+    """unet_sound2.py (the audio VAE main.py actually wires): 193x257
+    spectrogram, BN conv pairs, VALID layer1 pool, 256-d softplus-std VAE,
+    4 skip-less up stages ending in a (3,3)-VALID-rule deconv to 193x257."""
+    rng = np.random.default_rng(17)
+    x_np = rng.random((2, 193, 257, 1)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetsound2.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 193, 257, 1))
+        with v1.variable_scope("UNetAudio"):
+            _, p1 = _ccp_bn(x, 16, "1", pool=True, pool_pad="VALID")   # 96x128
+            _, p2 = _ccp_bn(p1, 16, "2", pool=True)                    # 48x64
+            _, p3 = _ccp_bn(p2, 64, "3", pool=True)                    # 24x32
+            _, p4 = _ccp_bn(p3, 128, "4", pool=True)                   # 12x16
+            conv5 = _ccp_bn(p4, 128, "5")
+            mean = tf.reshape(
+                _conv2d(conv5, 256, (12, 16), "mean", padding="VALID"), (-1, 256)
+            )
+            _ = _conv2d(conv5, 256, (12, 16), "std", padding="VALID")
+            net = tf.nn.relu(_dense(mean, 12 * 16 * 10))               # z = mean
+            net = tf.reshape(net, (-1, 12, 16, 10))
+            net = tf.nn.relu(_conv2d(net, 128, (3, 3), "conv2d"))
+            net = _ccp_bn(_deconv_rect(net, 128, 2, 2, 2, "upsample_6"), 128, "6")
+            net = _ccp_bn(net, 128, "7")
+            net = _ccp_bn(_deconv_rect(net, 64, 2, 2, 2, "upsample_8"), 64, "8")
+            net = _ccp_bn(net, 64, "9")
+            net = _ccp_bn(_deconv_rect(net, 16, 2, 2, 2, "upsample_10"), 16, "10")
+            net = _ccp_bn(net, 16, "11")
+            net = _ccp_bn(_deconv_rect(net, 16, 3, 3, 2, "upsample_12"), 16, "12")
+            net = _ccp_bn(net, 16, "13")
+            out = tf.sigmoid(_conv2d(net, 1, (1, 1), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out, tf_mean = sess.run([out, mean], {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetSound
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "UNetAudio")
+    model = UNetSound(variant="large")
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x_np, train=False
+    )
+    merged = merge_into(variables["params"], params, strict=True)
+    merged_stats = merge_into(variables["batch_stats"], stats, strict=True)
+    got = model.apply(
+        {"params": merged, "batch_stats": merged_stats}, x_np,
+        sample=False, train=False,
+    )
+    assert got.output.shape == (2, 193, 257, 1)
+    np.testing.assert_allclose(np.asarray(got.mean), tf_mean, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)

@@ -204,3 +204,21 @@ def test_resume_reproduces_uninterrupted_run(tiny_dataset, tmp_path):
     chex = jax.tree_util.tree_map(lambda x, y: np.array_equal(x, y), a, b)
     assert jax.tree_util.tree_all(chex)
     assert int(full.step) == int(resumed.step) == 2
+
+
+@pytest.mark.slow
+def test_reconstruct_energy_step(tiny_dataset, tmp_path):
+    """Energy-map recipe (encoder_type=Energy -> BN-less UNetEnergy on the
+    min-max-normalized first acoustic channel): one sharded train step +
+    eval."""
+    cfg = make_config(tmp_path, encoder_type="Energy")
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    for raw in loader.batches(0):
+        break
+    state = trainer.init_state(raw)
+    assert state.batch_stats == {}  # no BN anywhere in this family
+    s1, metrics = trainer.train_step(state, raw)
+    assert np.isfinite(float(metrics["loss"]))
+    val = trainer.evaluate(s1, loader)
+    assert np.isfinite(val["mse"])
