@@ -86,6 +86,13 @@ def import_scope(
             parent = ["vae", parent[0]]
         elif parent == ["conv2d"]:
             parent = ["conv_dec"]
+        # slim.repeat nests units under the repeat scope ("conv3/conv3_1",
+        # "fc1/fc1_2" in VGGish, vggish.py:66-73) — collapse to the unit
+        # name, which is what our flat flax modules use.
+        parent = [
+            p for i, p in enumerate(parent)
+            if not (i + 1 < len(parent) and parent[i + 1].startswith(p + "_"))
+        ]
         if leaf == "kernel":
             if parent and parent[-1].startswith("upsample"):
                 value = np.transpose(value, (0, 1, 3, 2))  # (kh,kw,out,in)->HWIO

@@ -25,6 +25,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def parse_test_accuracy(text: str) -> dict:
+    """Parse a ``test_accuracy*.txt`` line ("ts: exp - k: v - k: v ...",
+    ``mfcctrainer.py:527-534`` format) into {metric: float}."""
+    results: dict = {}
+    for part in text.split(" - "):
+        if ":" in part:
+            k, _, v = part.rpartition(":")
+            try:
+                results[k.strip().split()[-1]] = float(v)
+            except ValueError:
+                pass
+    return results
+
+
 def run_seed(seed: int, args, train_flags: list[str]) -> dict:
     exp = f"{args.exp_name}_seed{seed}"
     base = [
@@ -43,17 +57,10 @@ def run_seed(seed: int, args, train_flags: list[str]) -> dict:
         [*base, "--mode", "test", "--restore_checkpoint", ckpt], check=True, cwd=REPO
     )
     results = {}
-    test_file = os.path.join(run_dir, f"test_accuracy.txt")
+    test_file = os.path.join(run_dir, "test_accuracy.txt")
     if os.path.exists(test_file):
         with open(test_file) as f:
-            text = f.read()
-        for part in text.split(" - "):
-            if ":" in part:
-                k, _, v = part.rpartition(":")
-                try:
-                    results[k.strip().split()[-1]] = float(v)
-                except ValueError:
-                    pass
+            results = parse_test_accuracy(f.read())
     results["best_epoch"] = best
     return results
 

@@ -809,3 +809,70 @@ def test_unet_sound_large_matches_tf_checkpoint(tmp_path):
     assert got.output.shape == (2, 193, 257, 1)
     np.testing.assert_allclose(np.asarray(got.mean), tf_mean, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+def _slim_conv_relu(x, ch, name):
+    with v1.variable_scope(name):
+        w = v1.get_variable(
+            "weights", [3, 3, int(x.shape[-1]), ch],
+            initializer=v1.truncated_normal_initializer(stddev=0.01),
+        )
+        b = v1.get_variable("biases", [ch], initializer=tf.zeros_initializer())
+        return tf.nn.relu(tf.nn.conv2d(x, w, [1, 1, 1, 1], "SAME") + b)
+
+
+def _slim_fc_relu(x, units, name):
+    with v1.variable_scope(name):
+        w = v1.get_variable(
+            "weights", [int(x.shape[-1]), units],
+            initializer=v1.truncated_normal_initializer(stddev=0.01),
+        )
+        b = v1.get_variable("biases", [units], initializer=tf.zeros_initializer())
+        return tf.nn.relu(tf.matmul(x, w) + b)
+
+
+@pytest.mark.slow
+def test_vggish_matches_tf_checkpoint(tmp_path):
+    """VGGish (vggish.py:35-77): slim conv/pool VGG stack + 2x FC4096 under
+    the lowercase 'vggish' scope, with slim.repeat's nested unit scopes
+    (conv3/conv3_1, fc1/fc1_2) collapsed by the importer — the layout of a
+    real AudioSet vggish_model.ckpt."""
+    rng = np.random.default_rng(23)
+    x_np = rng.random((2, 96, 64, 1)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "vggish.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 96, 64, 1))
+        with v1.variable_scope("vggish"):
+            net = _slim_conv_relu(x, 64, "conv1")
+            net = tf.nn.max_pool2d(net, 2, 2, "SAME")
+            net = _slim_conv_relu(net, 128, "conv2")
+            net = tf.nn.max_pool2d(net, 2, 2, "SAME")
+            with v1.variable_scope("conv3"):  # slim.repeat nesting
+                net = _slim_conv_relu(net, 256, "conv3_1")
+                net = _slim_conv_relu(net, 256, "conv3_2")
+            net = tf.nn.max_pool2d(net, 2, 2, "SAME")
+            with v1.variable_scope("conv4"):
+                net = _slim_conv_relu(net, 512, "conv4_1")
+                net = _slim_conv_relu(net, 512, "conv4_2")
+            net = tf.nn.max_pool2d(net, 2, 2, "SAME")
+            net = tf.reshape(net, (-1, 6 * 4 * 512))
+            with v1.variable_scope("fc1"):
+                net = _slim_fc_relu(net, 4096, "fc1_1")
+                net = _slim_fc_relu(net, 4096, "fc1_2")
+            out = tf.reshape(net, (-1, 1, 1, 4096))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models.vggish import VGGish
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "vggish")
+    assert not stats
+    model = VGGish()
+    variables = model.init({"params": jax.random.key(0)}, x_np)
+    merged = merge_into(variables["params"], params, strict=True)
+    got = model.apply({"params": merged}, x_np)
+    np.testing.assert_allclose(np.asarray(got), tf_out, rtol=2e-4, atol=2e-5)

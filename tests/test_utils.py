@@ -137,3 +137,24 @@ def test_overlay_video_frames(tmp_path):
     masks = rng2.random((3, 36, 48)) > 0.5
     paths = save_overlay_video_frames(str(tmp_path / "vid"), frames, masks)
     assert len(paths) == 3 and all(os.path.getsize(p) > 500 for p in paths)
+
+
+def test_sweep_parses_test_accuracy_lines():
+    """sweep.py reads each seed's test_accuracy.txt (the exact format
+    Trainer.test writes, mirroring mfcctrainer.py:527-534) and feeds the
+    floats to the 5-seed trimmed aggregation."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep", os.path.join(os.path.dirname(__file__), "..", "scripts", "sweep.py")
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    line = ("2026-08-16 12:00:00.000: acres_seed0 - huber: 0.001200 - "
+            "loss: 0.004500 - mse: 0.003300 - mse0: 0.003100\n")
+    got = sweep.parse_test_accuracy(line)
+    assert got == {
+        "huber": 0.0012, "loss": 0.0045, "mse": 0.0033, "mse0": 0.0031,
+    }
