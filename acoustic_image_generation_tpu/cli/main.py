@@ -183,6 +183,13 @@ def select_task(config: ExperimentConfig):
         from acoustic_image_generation_tpu.train.reconstruct import ReconstructTask
 
         return ReconstructTask(config)
+    if config.data.correspondence:
+        # extension: the reference's loaders emit correspondence labels
+        # (outdoor_data_mfcc.py:888-928) but no main.py trainer consumes
+        # them; DualCamNet(2) over the augmented batch does.
+        from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
+
+        return CorrespondenceTask(config)
     if m.mfcc:
         from acoustic_image_generation_tpu.train.classify import ClassificationTask
 

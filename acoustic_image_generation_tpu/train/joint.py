@@ -180,6 +180,54 @@ class JointTask:
         metrics = {"loss": total, "mse": mse, "huber": hub, "latent_loss": latent}
         return total, metrics, batch_stats
 
+    # --------------------------------------------------------------- export
+
+    def embeddings(self, params, batch_stats, batch: Batch, rng, *, use_mean: bool = False):
+        """Per-second latents for export (``extract_j.py:131-142``):
+        ``acoustic`` = VAE head over the associator's ac feature map,
+        ``acoustic_true`` = over the real acoustic features (the reference's
+        AcTrue dirs), plus ``audio``/``video`` over their own features.
+        ac/ac_true share one noise draw like the reference; ``use_mean``
+        exports raw means (mean.py)."""
+        rngs = {"latent": rng, "moddrop": rng}
+        inputs = self._inputs(batch)
+        f_ac, f_vi, f_au = self._features(params, batch_stats, inputs, rngs, train=False)
+        if self.fusion:
+            fused = self.associator.apply({"params": params["associator"]}, f_vi, f_au)
+        else:
+            fused = self.associator.apply(
+                {"params": params["associator"]}, f_ac, f_vi, f_au
+            )
+        ac_feat = (
+            self.associator1.apply({"params": params["associator1"]}, f_vi, f_au)["ac"]
+            if self.onlyaudiovideo
+            else fused["ac"]
+        )
+        head = lambda mod, f: self.__getattribute__(mod).apply(
+            {"params": params[mod]}, f, False,
+            method=lambda mdl, fm, smp: mdl.vae(fm, sample=smp),
+        )
+        z_ac = head("acoustic", ac_feat)
+        z_true = head("acoustic", f_ac)
+        z_au = head("audio", f_au)
+        z_vi = head("video", f_vi)
+
+        def z(out, eps_key, dim):
+            mean, std = out[1].astype(jnp.float32), out[2].astype(jnp.float32)
+            if use_mean:
+                return mean
+            return mean + std * jax.random.normal(eps_key, (mean.shape[0], dim))
+
+        k_ac = jax.random.fold_in(rng, 0)  # shared between ac and ac_true
+        result = {
+            "acoustic": z(z_ac, k_ac, 150),
+            "acoustic_true": z(z_true, k_ac, 150),
+        }
+        if not self.onlyaudiovideo:
+            result["audio"] = z(z_au, jax.random.fold_in(rng, 1), 256)
+            result["video"] = z(z_vi, jax.random.fold_in(rng, 2), 1024)
+        return result
+
     # ----------------------------------------------------------------- eval
 
     def eval_losses(self, params, batch_stats, batch: Batch, rngs):

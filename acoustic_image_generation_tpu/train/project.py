@@ -207,6 +207,34 @@ class ProjectTask:
         metrics["loss"] = total
         return total, metrics, new_stats
 
+    # --------------------------------------------------------------- export
+
+    def embeddings(self, params, batch_stats, batch: Batch, rng, *, use_mean: bool = False):
+        """Per-second latents for export (``extract_fusion.py:120-126``):
+        ``acoustic`` = the acoustic VAE's own latent, plus one entry per
+        associator path (``video`` / ``audio`` translated into the acoustic
+        space). One shared noise draw across all of them, like the
+        reference; ``use_mean`` exports raw means."""
+        rngs = {"latent": rng}
+        _, out, _, _, per_assoc, _ = self._forward(
+            params, batch_stats, batch, rngs, train=False
+        )
+        eps = jax.random.normal(rng, (out.mean.shape[0], 150), jnp.float32)
+
+        def z(mean, std):
+            mean = mean.astype(jnp.float32)
+            return mean if use_mean else mean + std.astype(jnp.float32) * eps
+
+        result = {"acoustic": z(out.mean, out.std)}
+        names = []
+        if self.fusion or self.encoder_type == "Video":
+            names.append("video")
+        if self.fusion or self.encoder_type != "Video":
+            names.append("audio")
+        for name, (m, s) in zip(names, per_assoc):
+            result[name] = z(m, s)
+        return result
+
     # ----------------------------------------------------------------- eval
 
     def eval_losses(self, params, batch_stats, batch: Batch, rngs):

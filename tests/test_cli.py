@@ -85,3 +85,57 @@ def test_config_roundtrip(tmp_path):
     assert loaded.data.batch_size == 64
     assert loaded.parallel.compute_dtype == "bfloat16"
     assert loaded.model.mfcc is True
+
+
+@pytest.mark.slow
+def test_cli_train_then_test_subprocess(tmp_path):
+    """The reference workflow end-to-end through the real CLI entry point
+    (scripts/test.bash protocol): `main --mode train` -> best epoch from
+    model.txt -> `main --mode test --restore_checkpoint`."""
+    import os
+    import subprocess
+    import sys
+
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+    from acoustic_image_generation_tpu.train.checkpoint import BestTracker
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = [
+        sys.executable, "-m", "acoustic_image_generation_tpu.cli.main",
+        "--model", "UNet", "--encoder_type", "Ac", "--datatype", "outdoor",
+        "--batch_size", "8", "--sample_length", "1", "--num_epochs", "1",
+        "--learning_rate", "0.001", "--compute_dtype", "float32",
+        "--exp_name", "cli_e2e", "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--train_file", lists["training"], "--valid_file", lists["validation"],
+        "--test_file", lists["testing"],
+    ]
+    subprocess.run([*base, "--mode", "train"], check=True, cwd=repo, env=env,
+                   timeout=480)
+    run_dir = tmp_path / "ckpt" / "cli_e2e"
+    assert (run_dir / "model.txt").exists()
+    assert (run_dir / "configuration.txt").exists()
+    best = BestTracker.read_best_epoch(str(run_dir))
+    ckpt = run_dir / f"epoch_{best}.ckpt"
+    assert ckpt.exists()
+
+    subprocess.run(
+        [*base, "--mode", "test", "--restore_checkpoint", str(ckpt)],
+        check=True, cwd=repo, env=env, timeout=480,
+    )
+    assert (run_dir / "test_accuracy.txt").exists()
+
+
+def test_correspondence_dispatch():
+    from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
+
+    task = select_task(parse(["--model", "DualCamNet", "--correspondence", "1"]))
+    assert isinstance(task, CorrespondenceTask)
+    assert task.model.num_classes == 2

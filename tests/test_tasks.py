@@ -139,7 +139,7 @@ def test_project_task(tmp_path, mode):
         kw["fusion"] = True
     cfg = make_config(tmp_path, **kw)
     task = ProjectTask(cfg)
-    p0, new_state, m, _, _ = _one_step(task, cfg)
+    p0, new_state, m, trainer, raw = _one_step(task, cfg)
     # frozen VAEs unchanged, associator trained
     p1 = jax.device_get(new_state.params)
     assert jax.tree_util.tree_all(
@@ -148,6 +148,16 @@ def test_project_task(tmp_path, mode):
     assert not jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["assoc_video"], p1["assoc_video"])
     )
+    # latent export (extract_fusion.py capability): acoustic + translated
+    z = jax.jit(
+        lambda s, r: task.embeddings(
+            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
+        )
+    )(new_state, trainer.device_batch(raw))
+    want = {"acoustic", "video", "audio"} if mode == "fusion" else {"acoustic", "video"}
+    assert set(z) == want
+    assert all(v.shape == (8, 150) and np.isfinite(np.asarray(v)).all()
+               for v in z.values())
 
 
 @pytest.mark.slow
@@ -160,7 +170,7 @@ def test_joint_task(tmp_path, mode):
         kw["onlyaudiovideo"] = True
     cfg = make_config(tmp_path, **kw)
     task = JointTask(cfg)
-    p0, new_state, m, _, _ = _one_step(task, cfg)
+    p0, new_state, m, trainer, raw = _one_step(task, cfg)
     p1 = jax.device_get(new_state.params)
     trainable = "associator1" if mode == "onlyaudiovideo" else "associator"
     assert not jax.tree_util.tree_all(
@@ -169,6 +179,28 @@ def test_joint_task(tmp_path, mode):
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["video"], p1["video"])
     )
+    # latent export (extract_j.py capability): joint-ac + real-ac (+audio/video)
+    z = jax.jit(
+        lambda s, r: task.embeddings(
+            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
+        )
+    )(new_state, trainer.device_batch(raw))
+    if mode == "onlyaudiovideo":
+        assert set(z) == {"acoustic", "acoustic_true"}  # featurestwo.bash
+    else:
+        assert set(z) == {"acoustic", "acoustic_true", "audio", "video"}
+        assert z["audio"].shape == (8, 256) and z["video"].shape == (8, 1024)
+    assert z["acoustic"].shape == (8, 150)
+    assert all(np.isfinite(np.asarray(v)).all() for v in z.values())
+    # ac and ac_true share the reference's single noise draw (extract_j:131-135)
+    zm = jax.jit(
+        lambda s, r: task.embeddings(
+            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0),
+            use_mean=True,
+        )
+    )(new_state, trainer.device_batch(raw))
+    noise_ac = np.asarray(z["acoustic"]) - np.asarray(zm["acoustic"])
+    assert not np.allclose(noise_ac, 0)
 
 
 @pytest.mark.slow
