@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mfccmap", type=int, default=0)
     p.add_argument("--num_skip_conn", type=int, default=1, choices=[0, 1, 2])
     p.add_argument("--ae", type=int, default=0)
+    # extension (no reference equivalent): ResNet units per block, e.g.
+    # "1,1,1,1" for the structurally identical reduced-depth test variant
+    p.add_argument("--resnet_units", type=str, default="3,4,6,3")
     p.add_argument("--proxy", type=int, default=0)
     p.add_argument("--fusion", type=int, default=0)
     p.add_argument("--moddrop", type=int, default=0)
@@ -122,6 +125,7 @@ def config_from_args(args) -> ExperimentConfig:
             mfccmap=bool(args.mfccmap),
             num_skip_conn=args.num_skip_conn,
             ae=bool(args.ae),
+            resnet_units=tuple(int(u) for u in args.resnet_units.split(",")),
             proxy=bool(args.proxy),
             fusion=bool(args.fusion),
             moddrop=bool(args.moddrop),

@@ -254,6 +254,66 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """Serving path: batch-generate acoustic images from (mfcc, video)
+    with a trained generator — the deployment counterpart of ``--mode
+    test`` (no real acoustic images needed at input; the reference has no
+    serving surface). Writes ``{set}_generated.npy`` (N,36,48,C) plus
+    labels, and optionally the inverted ``{set}_energy.npy`` spatial maps
+    (find_logen, iouenergythreshold.py:294-323)."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser as main_parser,
+        config_from_args,
+        make_loader,
+        select_task,
+    )
+    from acoustic_image_generation_tpu.dsp.energy import find_logen
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = main_parser().parse_args(_strip(args.train_flags))
+    config = config_from_args(main_args)
+    task = select_task(config)
+    assert hasattr(task, "generate"), "generate requires the generation recipe"
+    trainer = Trainer(task, config)
+    loader = make_loader(config, args.set)
+    for first in loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    state = trainer.restore(args.checkpoint, template)
+
+    def _serve(raw, key):
+        batch = trainer._prepare(raw)
+        gen = task.generate(state.params, state.batch_stats, batch.mfcc, batch.video, key)
+        return (gen, find_logen(gen)) if args.energy else (gen,)
+
+    step = jax.jit(_serve)
+    outs: list = []
+    energies: list = []
+    labels: list = []
+    base = jax.random.key(config.run.seed)
+    for i, raw_batch in enumerate(loader.batches(0)):
+        raw = trainer.device_batch(raw_batch)
+        result = step(raw, jax.random.fold_in(base, i))
+        frames = raw_batch.acoustic.shape[1]
+        n = raw_batch.valid * frames
+        outs.append(np.asarray(result[0], np.float32)[:n])
+        if args.energy:
+            energies.append(np.asarray(result[1], np.float32)[:n])
+        labels.append(np.repeat(raw_batch.action[: raw_batch.valid], frames))
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, f"{args.set}_generated.npy"), np.concatenate(outs))
+    np.save(os.path.join(args.out_dir, f"{args.set}_labels.npy"), np.concatenate(labels))
+    if args.energy:
+        np.save(
+            os.path.join(args.out_dir, f"{args.set}_energy.npy"), np.concatenate(energies)
+        )
+    total = sum(o.shape[0] for o in outs)
+    print(f"generated {total} acoustic images -> {args.out_dir}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aig-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -306,6 +366,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--num_images", type=int, default=4)
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_show)
+
+    s = sub.add_parser("generate", help="serving: mfcc+video -> generated acoustic images")
+    s.add_argument("checkpoint")
+    s.add_argument("out_dir")
+    s.add_argument("--set", default="testing",
+                   choices=["training", "validation", "testing"])
+    s.add_argument("--energy", action="store_true",
+                   help="also write inverted spatial energy maps")
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("extract", help="export latents for knn/retrieval")
     s.add_argument("checkpoint")

@@ -113,3 +113,55 @@ def test_real_vs_generated_accuracy(tmp_path):
     assert res["n"] == 8
     assert 0.0 <= res["real_accuracy"] <= 1.0
     assert 0.0 <= res["generated_accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_tools_generate_serving_cli(tmp_path):
+    """Serving surface: `tools generate` loads a generator checkpoint and
+    batch-generates acoustic images (+ inverted energy maps) from
+    (mfcc, video) only."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli import tools
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser,
+        config_from_args,
+    )
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=1
+    )
+    flags = [
+        "--embedding", "1", "--mfcc", "1", "--resnet_units", "1,1,1,1",
+        "--batch_size", "8", "--sample_length", "1", "--compute_dtype", "float32",
+        "--exp_name", "gen_cli", "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--test_file", lists["testing"],
+    ]
+    cfg = config_from_args(build_parser().parse_args(flags))
+    assert cfg.model.resnet_units == (1, 1, 1, 1)
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    loader = AcousticImageDataLoader(lists["testing"], "testing", 8)
+    for first in loader.batches(0):
+        break
+    state = trainer.init_state(first)
+    path = ckpt_mod.save_checkpoint(str(tmp_path), "init", state)
+
+    out_dir = tmp_path / "served"
+    rc = tools.main([
+        "generate", "--set", "testing", "--energy", path, str(out_dir), "--", *flags,
+    ])
+    assert rc == 0
+    gen = np.load(out_dir / "testing_generated.npy")
+    energy = np.load(out_dir / "testing_energy.npy")
+    labels = np.load(out_dir / "testing_labels.npy")
+    n = loader.num_windows * 12
+    assert gen.shape == (n, 36, 48, 12)
+    assert energy.shape == (n, 36, 48)
+    assert labels.shape == (n,)
+    assert np.isfinite(gen).all() and np.isfinite(energy).all()
+    assert gen.min() >= 0.0 and gen.max() <= 1.0
