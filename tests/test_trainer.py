@@ -222,3 +222,34 @@ def test_reconstruct_energy_step(tiny_dataset, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     val = trainer.evaluate(s1, loader)
     assert np.isfinite(val["mse"])
+
+
+@pytest.mark.slow
+def test_crash_checkpoint_on_midtrain_failure(tiny_dataset, tmp_path):
+    """Failure containment (SURVEY.md §5 — the reference has none): a
+    loader fault mid-epoch persists an interrupted_{epoch} checkpoint
+    before re-raising, and that checkpoint is restorable."""
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+
+    cfg = make_config(tmp_path, encoder_type="Ac")
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+
+    class FaultyLoader:
+        batch_size = loader.batch_size
+        num_windows = loader.num_windows
+
+        def batches(self, epoch):
+            yield from loader.batches(epoch)
+            raise IOError("simulated shard corruption")
+
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    with pytest.raises(IOError, match="simulated"):
+        trainer.fit(FaultyLoader(), loader)
+    paths = glob.glob(os.path.join(trainer.run_dir, "epoch_interrupted_*.ckpt"))
+    assert paths, "no crash checkpoint written"
+
+    for first in loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    restored = trainer.restore(paths[0], template)
+    assert int(restored.step) >= 1  # the completed steps were persisted
