@@ -217,3 +217,40 @@ def test_correspondence_task(tmp_path):
     )
     _, _, m, _, _ = _one_step(CorrespondenceTask(cfg), cfg)
     assert 0.0 <= m["accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_embed_task_music_13_channels(tmp_path):
+    """AVIA/music datakind (outdoor_data.py:46-49): 9 classes, 11
+    locations, 13 acoustic channels flow through the embed recipe."""
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1, datatype="music"),
+        model=ModelConfig(embedding=True),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="music_smoke", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    assert cfg.data.num_channels == 13
+    assert cfg.data.num_classes == 9 and cfg.data.num_locations == 11
+    rng = np.random.default_rng(0)
+    raw = RawBatch(
+        acoustic=rng.random((8, 12, 36, 48, 13), dtype=np.float32),
+        audio=rng.integers(-3000, 3000, (8, 12, 1024)).astype(np.int32),
+        video=rng.integers(0, 255, (8, 12, 224, 298, 3)).astype(np.uint8),
+        action=rng.integers(0, 9, (8,)).astype(np.int32),
+        location=rng.integers(1, 12, (8,)).astype(np.int32),
+        valid=8,
+    )
+    task = EmbedTask(cfg)
+    trainer = Trainer(task, cfg)
+    state = trainer.init_state(raw)
+    new_state, metrics = trainer.train_step(state, raw)
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert all(np.isfinite(v) for v in m.values()), m
+    z = jax.jit(
+        lambda s, r: task.embeddings(
+            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
+        )
+    )(new_state, trainer.device_batch(raw))
+    assert set(z) == {"acoustic", "audio", "video"}
+    assert all(np.isfinite(np.asarray(v)).all() for v in z.values())
