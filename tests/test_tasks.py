@@ -220,6 +220,7 @@ def test_correspondence_task(tmp_path):
 
 
 @pytest.mark.slow
+@full_only
 def test_embed_task_music_13_channels(tmp_path):
     """AVIA/music datakind (outdoor_data.py:46-49): 9 classes, 11
     locations, 13 acoustic channels flow through the embed recipe."""
