@@ -42,7 +42,10 @@ def main() -> None:
     # 64-clip default: measured 177.7 (16) / 183.6 (32) / 186.5 (64)
     # clips/sec/chip with the frozen trunk — compute-bound past 32.
     clips = int(os.environ.get("AIG_BENCH_CLIPS", "64"))
-    mode = os.environ.get("AIG_BENCH_MODE", "train")  # train | infer
+    mode = os.environ.get("AIG_BENCH_MODE", "train")  # train | infer | pipeline
+
+    if mode == "pipeline":
+        return _pipeline_bench(clips)
     frames = 12 * clips
     rng = np.random.default_rng(0)
     acoustic = rng.random((frames, 36, 48, 12), dtype=np.float32)
@@ -252,6 +255,87 @@ def main() -> None:
             }
         )
     )
+
+
+def _pipeline_bench(clips: int) -> None:
+    """Sustained end-to-end throughput: C++ shard ingest -> threaded loader
+    -> device transfer -> full jitted train step, on real (synthetic,
+    uncompressed) TFRecord shards. This is the honest 'clips/sec the whole
+    system sustains' number, not just the compute-step rate.
+
+    CAVEAT on the dev machine (measured 6 clips/s): this host has ONE cpu
+    core (ingest tops out ~150 clips/s against the 187 clips/s train
+    step) and the TPU hangs off an HTTP tunnel, so the ~154 MB of video
+    per 64-clip step transfers at tunnel speed — the number here measures
+    the tunnel, not the framework. On a real v5e host (~100 host cores,
+    PCIe-attached chips) ingest scales per GIL-released C++ decode thread
+    and the transfer is >10 GB/s, so sustained ~= the train-step rate.
+    The dataset is cached under /tmp across runs (the first run pays
+    ~3 min of synthetic-shard writing)."""
+    import os
+    import shutil
+
+    from acoustic_image_generation_tpu.core.config import (
+        DataConfig, ExperimentConfig, ModelConfig, OptimConfig, ParallelConfig,
+        RunConfig,
+    )
+    from acoustic_image_generation_tpu.data.convert import reshard
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    tmp = "/tmp/aig_bench_data_v1"
+    try:
+        flat_list = os.path.join(tmp, "flat", "training.txt")
+        if not os.path.exists(flat_list):
+            os.makedirs(tmp, exist_ok=True)
+            lists = write_synthetic_dataset(
+                os.path.join(tmp, "gz"), num_classes=2, videos_per_class=4,
+                seconds_per_video=16,
+            )
+            got = reshard(lists["training"], os.path.join(tmp, "flat"))
+            assert got == flat_list, got
+            shutil.rmtree(os.path.join(tmp, "gz"), ignore_errors=True)
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=clips, sample_length=1),
+            model=ModelConfig(embedding=True, mfcc=True, num_skip_conn=1),
+            optim=OptimConfig(learning_rate=1e-4, num_epochs=1),
+            run=RunConfig(exp_name="bench", checkpoint_dir=os.path.join(tmp, "ck")),
+            parallel=ParallelConfig(compute_dtype="bfloat16"),
+        )
+        loader = AcousticImageDataLoader(
+            flat_list, "training", clips, use_native=True
+        )
+        trainer = Trainer(GenerationTask(cfg), cfg)
+        it = loader.batches(0)
+        state = trainer.init_state(next(iter(it)))
+        # warmup: compile + 1 steady step
+        warm = 0
+        for raw in loader.batches(0):
+            state, metrics = trainer.train_step(state, raw)
+            warm += 1
+            if warm >= 2:
+                break
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        n_clips = 0
+        metrics = None
+        for epoch in range(int(os.environ.get("AIG_BENCH_EPOCHS", "2"))):
+            for raw in loader.batches(epoch):
+                state, metrics = trainer.train_step(state, raw)
+                n_clips += raw.valid
+        float(jax.device_get(metrics["loss"]))  # drain the pipeline
+        dt = time.perf_counter() - t0
+        clips_per_sec = n_clips / dt
+        print(json.dumps({
+            "metric": "pipeline_train_clips_per_sec_chip",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4),
+        }))
+    finally:
+        pass  # dataset cache is kept for the next run
 
 
 if __name__ == "__main__":
