@@ -125,7 +125,10 @@ def write_synthetic_dataset(
                 )
                 audio = wave[sl].reshape(FRAMES_PER_SECOND, NUM_SAMPLES)
                 # video: dark noise background + bright marker at the
-                # source position (acoustic lattice scaled to pixels)
+                # source position (acoustic lattice scaled to pixels); the
+                # marker COLOR is class-dependent so the video modality is
+                # class-informative too (like a real source's appearance),
+                # which embedding recipes need for video-latent kNN
                 video = rng.integers(
                     0, 64, (FRAMES_PER_SECOND, *video_hw, 3), dtype=np.uint8
                 )
@@ -133,7 +136,9 @@ def write_synthetic_dataset(
                 px = int(cx / ACOUSTIC_W * video_hw[1])
                 y0, y1 = max(py - 10, 0), min(py + 10, video_hw[0])
                 x0, x1 = max(px - 10, 0), min(px + 10, video_hw[1])
-                video[:, y0:y1, x0:x1, :] = 255
+                color = np.full(3, 96, np.uint8)
+                color[c % 3] = 255
+                video[:, y0:y1, x0:x1, :] = color
                 ex = make_sequence_example(
                     acoustic=acoustic,
                     audio=audio,
