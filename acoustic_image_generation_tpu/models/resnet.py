@@ -36,9 +36,60 @@ he_trunc = variance_scaling(2.0, "fan_in", "truncated_normal")
 RESNET50_BLOCKS = ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 1))
 
 
+class _Conv1x1Stats(nn.Module):
+    """1x1 stride-1 conv via the Pallas fused-stats GEMM. Parameter path
+    ("conv"/"kernel", shape (1,1,Cin,Cout)) matches nn.Conv exactly, so the
+    same checkpoint drives either implementation."""
+
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from acoustic_image_generation_tpu.ops.pallas_conv_stats import (
+            conv1x1_batch_stats,
+        )
+
+        kernel = self.param(
+            "kernel", he_trunc, (1, 1, x.shape[-1], self.features), jnp.float32
+        )
+        return conv1x1_batch_stats(x.astype(self.dtype), kernel.astype(self.dtype))
+
+
+class _TrainBN(nn.Module):
+    """Batch norm applied with externally computed batch statistics.
+    Variable paths/shapes match flax nn.BatchNorm ("scale"/"bias" params,
+    "mean"/"var" batch_stats), so checkpoints are interchangeable."""
+
+    momentum: float
+    epsilon: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, y, mean, var):
+        c = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return (y - mean.astype(self.dtype)) * inv + bias.astype(self.dtype)
+
+
 class _ConvBN(nn.Module):
     """slim ``layers.conv2d`` under resnet_arg_scope: conv (no bias) -> BN
-    [-> ReLU]. ``fixed_pad`` selects conv2d_same semantics for stride > 1."""
+    [-> ReLU]. ``fixed_pad`` selects conv2d_same semantics for stride > 1.
+    ``fused_stats`` routes train-mode 1x1/stride-1 convs through the Pallas
+    fused-stats GEMM (ops/pallas_conv_stats) — identical variable tree,
+    forward-only (pair with ``freeze_trunk``)."""
 
     features: int
     kernel: tuple[int, int] = (1, 1)
@@ -46,11 +97,25 @@ class _ConvBN(nn.Module):
     relu: bool = True
     fixed_pad: bool = False
     padding: str = "SAME"
+    fused_stats: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         dt = self.dtype or x.dtype
+        fused = (
+            self.fused_stats
+            and train
+            and not self.fixed_pad
+            and self.kernel == (1, 1)
+            and self.stride == 1
+        )
+        if fused:
+            y, mean, var = _Conv1x1Stats(self.features, dtype=dt, name="conv")(x)
+            y = _TrainBN(momentum=0.997, epsilon=1e-5, dtype=dt, name="BatchNorm")(
+                y, mean, var
+            )
+            return nn.relu(y) if self.relu else y
         if self.fixed_pad:
             kernel = self.param(
                 "kernel", he_trunc, (*self.kernel, x.shape[-1], self.features), jnp.float32
@@ -86,11 +151,13 @@ class BottleneckV1(nn.Module):
     depth: int
     depth_bottleneck: int
     stride: int
+    fused_stats: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         depth_in = x.shape[-1]
+        fs = self.fused_stats
         if self.depth == depth_in:
             # subsample: 1x1 max-pool with stride (resnet_utils.subsample)
             shortcut = (
@@ -100,11 +167,13 @@ class BottleneckV1(nn.Module):
             )
         else:
             shortcut = _ConvBN(
-                self.depth, (1, 1), self.stride, relu=False, name="shortcut", dtype=self.dtype
+                self.depth, (1, 1), self.stride, relu=False, name="shortcut",
+                fused_stats=fs, dtype=self.dtype
             )(x, train=train)
-        residual = _ConvBN(self.depth_bottleneck, (1, 1), 1, name="conv1", dtype=self.dtype)(
-            x, train=train
-        )
+        residual = _ConvBN(
+            self.depth_bottleneck, (1, 1), 1, name="conv1", fused_stats=fs,
+            dtype=self.dtype
+        )(x, train=train)
         residual = _ConvBN(
             self.depth_bottleneck,
             (3, 3),
@@ -113,9 +182,10 @@ class BottleneckV1(nn.Module):
             name="conv2",
             dtype=self.dtype,
         )(residual, train=train)
-        residual = _ConvBN(self.depth, (1, 1), 1, relu=False, name="conv3", dtype=self.dtype)(
-            residual, train=train
-        )
+        residual = _ConvBN(
+            self.depth, (1, 1), 1, relu=False, name="conv3", fused_stats=fs,
+            dtype=self.dtype
+        )(residual, train=train)
         return nn.relu(shortcut + residual)
 
 
@@ -147,6 +217,10 @@ class ResNet50(nn.Module):
     # train mode, exactly like the reference's UPDATE_OPS dependency
     # (``mfcctrainer.py:75-79``).
     freeze_trunk: bool = False
+    # Route train-mode 1x1 convs through the Pallas fused-stats GEMM
+    # (ops/pallas_conv_stats): saves the separate BN-stats HBM read pass.
+    # Forward-only — requires freeze_trunk.
+    fused_bn_stats: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -165,6 +239,7 @@ class ResNet50(nn.Module):
                     depth=base_depth * 4,
                     depth_bottleneck=base_depth,
                     stride=stride,
+                    fused_stats=self.fused_bn_stats,
                     name=f"block{b}_unit_{u}",
                     dtype=self.dtype,
                 )(net, train)

@@ -54,10 +54,18 @@ def main() -> None:
     action = np.zeros((frames,), np.int32)
 
     remat = os.environ.get("AIG_BENCH_REMAT", "0") == "1"
+    # Pallas fused conv+BN-stats for the trunk's 1x1 convs. Measured: the
+    # single-level-blocked Pallas GEMM loses more than the saved stats
+    # read pass (75.3 vs 181.9 clips/s at 48 clips) — XLA's GEMM emitter
+    # + separate reduction wins. Off by default; kept as a correct,
+    # tested baseline for a future k-tiled accumulator kernel.
+    fused = os.environ.get("AIG_BENCH_FUSED_BN", "0") == "1"
     # freeze_trunk matches the reference trainer: var_list is UNet +
     # conv_map/logits only (mfcctrainer.py:64, vision.py:70), so the
     # ImageNet backbone contributes forward FLOPs only.
-    resnet = ResNet50(dtype=jnp.bfloat16, remat=remat, freeze_trunk=True)
+    resnet = ResNet50(
+        dtype=jnp.bfloat16, remat=remat, freeze_trunk=True, fused_bn_stats=fused
+    )
     generator = UNetAcResNet(skips=1, dtype=jnp.bfloat16)
 
     @jax.jit
