@@ -119,6 +119,13 @@ def write_synthetic_dataset(
                         (FRAMES_PER_SECOND, ACOUSTIC_H, ACOUSTIC_W, num_channels)
                     )
                 ).astype(np.float32) * (c + 1)
+                # store in the dualcam sensor convention: the loaders flip
+                # acoustic images l/r + u/d at parse (outdoor_data_mfcc.py:
+                # 314-315) to align them with the video, so shards must
+                # carry the mirrored image — otherwise the loaded blob sits
+                # at the mirror of the video marker (caught by the
+                # Flickr-box localization study: box IoU was exactly 0).
+                acoustic = np.ascontiguousarray(acoustic[:, ::-1, ::-1, :])
                 sl = slice(
                     s * FRAMES_PER_SECOND * NUM_SAMPLES,
                     (s + 1) * FRAMES_PER_SECOND * NUM_SAMPLES,
@@ -177,16 +184,36 @@ def write_flickr_dataset(
     for v in range(num_videos):
         data_dir = os.path.join(out_dir, "flickr", f"data_{v + 1:03d}")
         os.makedirs(data_dir, exist_ok=True)
+        t = np.arange(seconds_per_video * FRAMES_PER_SECOND * NUM_SAMPLES)
+        wave = (
+            3000 * np.sin(2 * np.pi * 200.0 * t / 12288.0)
+            + rng.normal(0, 100, t.shape)
+        ).astype(np.int32)
         for s in range(seconds_per_video):
-            audio = rng.integers(-3000, 3000, (FRAMES_PER_SECOND, NUM_SAMPLES)).astype(np.int32)
-            video = rng.integers(0, 256, (FRAMES_PER_SECOND, VIDEO_H, VIDEO_W, 3), dtype=np.uint8)
+            sl = slice(s * FRAMES_PER_SECOND * NUM_SAMPLES,
+                       (s + 1) * FRAMES_PER_SECOND * NUM_SAMPLES)
+            audio = wave[sl].reshape(FRAMES_PER_SECOND, NUM_SAMPLES)
+            # the annotated box surrounds an actual sound-source marker
+            # (class-0 colored, like the ACIVW-shaped synthetic set), so a
+            # trained generator's energy should land inside it — making
+            # the weighted-box IoU sweep a meaningful localization eval
+            video = rng.integers(
+                0, 64, (FRAMES_PER_SECOND, VIDEO_H, VIDEO_W, 3), dtype=np.uint8
+            )
+            py = int(rng.integers(40, VIDEO_H - 40))
+            px = int(rng.integers(40, VIDEO_W - 40))
+            color = np.array([255, 96, 96], np.uint8)
+            video[:, py - 10:py + 10, px - 10:px + 10, :] = color
             # one real box + two absent slots (xmax == 0 marks absence)
             boxes = {k: np.zeros((FRAMES_PER_SECOND, 3), np.int32)
                      for k in ("xmin", "xmax", "ymin", "ymax", "typescene")}
-            boxes["xmin"][:, 0] = rng.integers(0, 100)
-            boxes["xmax"][:, 0] = boxes["xmin"][:, 0] + rng.integers(50, 150)
-            boxes["ymin"][:, 0] = rng.integers(0, 100)
-            boxes["ymax"][:, 0] = boxes["ymin"][:, 0] + rng.integers(50, 100)
+            # object-scale annotation (real Flickr boxes cover the
+            # source object, not just its center): sized to the energy
+            # blob's above-mean footprint
+            boxes["xmin"][:, 0] = max(px - 45, 0)
+            boxes["xmax"][:, 0] = min(px + 45, VIDEO_W - 1)
+            boxes["ymin"][:, 0] = max(py - 45, 0)
+            boxes["ymax"][:, 0] = min(py + 45, VIDEO_H - 1)
             payload = make_second_example(
                 classes=0, location=v + 1,
                 audio=audio, video=video,
