@@ -105,12 +105,17 @@ def write_synthetic_dataset(
                 cx = rng.uniform(6, ACOUSTIC_W - 6)
                 blob = np.exp(-(((yy - cy) ** 2) + ((xx - cx) ** 2)) / (2 * 4.0**2))
                 # class-DEPENDENT channel profile (survives the loaders'
-                # per-frame min-max normalization, so classifiers can learn)
+                # per-frame min-max normalization, so classifiers can
+                # learn). Strongly separated half-band profiles: the sin
+                # profiles used earlier made the class signal so marginal
+                # that the generator's profile-learning phase onset was
+                # luck-of-the-seed (hundreds of epochs of variance).
                 ch = np.arange(num_channels)
-                profile = 0.35 + 0.65 * np.abs(
-                    np.sin(np.pi * (c + 1) * (ch + 0.5) / num_channels)
+                band = (ch < num_channels // 2) if c % 2 == 0 else (
+                    ch >= num_channels // 2
                 )
-                per_ch = (profile * (0.9 + 0.2 * rng.random(num_channels))).astype(
+                profile = np.where(band, 1.0, 0.3)
+                per_ch = (profile * (0.95 + 0.1 * rng.random(num_channels))).astype(
                     np.float32
                 )
                 acoustic = (

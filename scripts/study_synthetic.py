@@ -7,6 +7,8 @@ import json
 import os
 import tempfile
 import time
+
+SEED = int(os.environ.get("AIG_STUDY_SEED", "0"))
 from functools import partial
 
 import jax
@@ -94,8 +96,8 @@ BATCH = 32 * 12  # frames per step
 
 @jax.jit
 def init():
-    rv = resnet.init({"params": jax.random.key(0)}, jnp.zeros((1, 224, 298, 3)), train=False)
-    gv = gen.init({"params": jax.random.key(1), "latent": jax.random.key(2)},
+    rv = resnet.init({"params": jax.random.key(SEED * 31 + 0)}, jnp.zeros((1, 224, 298, 3)), train=False)
+    gv = gen.init({"params": jax.random.key(SEED * 31 + 1), "latent": jax.random.key(2)},
                   jnp.zeros((1, 36, 48, 12)), jnp.zeros((1, 12, 16, 12)))
     return {"resnet": rv["params"], "generator": gv["params"]}, rv["batch_stats"]
 
@@ -103,7 +105,7 @@ def init():
 params, batch_stats = init()
 from acoustic_image_generation_tpu.train.generation import GenerationTask
 tx = optax.multi_transform(
-    {"train": optax.adam(1e-4), "frozen": optax.set_to_zero()},
+    {"train": optax.adam(1e-3), "frozen": optax.set_to_zero()},
     GenerationTask.param_labels,
 )
 opt_state = jax.jit(tx.init)(params)
@@ -148,7 +150,7 @@ def test_metrics(params, batch_stats, d0, d1, d2, dact, key):
 
 
 # pre-training baseline
-rng = np.random.default_rng(0)
+rng = np.random.default_rng(SEED)
 mse0, ious0, _ = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
 fr0 = threshold_fractions(np.asarray(ious0))
 auc0 = localization_auc(fr0)
@@ -174,7 +176,7 @@ for epoch in range(EPOCHS):
         idx = jnp.asarray(perm[s * BATCH:(s + 1) * BATCH])
         params, batch_stats, opt_state, mse = train_step(
             params, batch_stats, opt_state, *dtr, dtr_act, idx,
-            jax.random.key(epoch * 1000 + s),
+            jax.random.key(SEED * 1_000_000 + epoch * 1000 + s),
         )
     if epoch % 10 == 9 or epoch == 0:
         tm, ti, _ = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
@@ -259,6 +261,37 @@ for epoch in range(30):
         idx = jnp.asarray(perm[s * BATCH:(s + 1) * BATCH])
         dcn2_params, dopt2, dl2 = dcn2_step(dcn2_params, dopt2, recon_train, dtr_act, idx)
 acc_gen_trained = float(dcn_acc(dcn2_params, recon_test, dte_act))
+
+# ------------------------------------------------- Flickr box localization
+# (showimages_bb protocol): the synthetic Flickr shards annotate a box
+# around a real marker; the trained generator's energy should fall inside
+from types import SimpleNamespace
+
+from acoustic_image_generation_tpu.data.synthetic import write_flickr_dataset
+from acoustic_image_generation_tpu.evaluation.localize_boxes import run_box_iou_sweep
+
+fl_dir = "/tmp/aig_study_flickr"
+if not os.path.exists(fl_dir):
+    write_flickr_dataset(fl_dir, num_videos=4, seconds_per_video=4, seed=3)
+floader = AcousticImageDataLoader(
+    os.path.join(fl_dir, "lists/flickr_testing.txt"), "testing", 8,
+    include_boxes=True,
+)
+
+
+class _TaskAdapter:
+    def _forward(self, p, bs, b, rngs, train):
+        feat = resnet.apply({"params": p["resnet"], "batch_stats": bs},
+                            b.video, train=False)
+        out = gen.apply({"params": p["generator"]}, tile_mfccmap(b.mfcc), feat,
+                        rngs={"latent": rngs["latent"]})
+        return out, bs
+
+
+box = run_box_iou_sweep(
+    _TaskAdapter(), SimpleNamespace(params=params, batch_stats=batch_stats), floader
+)
+print(f"box AUC {box['auc']:.4f} ({time.time()-t_start:.0f}s)", flush=True)
 print(json.dumps({
     "untrained": {"test_mse": float(mse0), "auc": round(auc0, 4)},
     "trained": {"test_mse": float(mse1), "auc": round(auc1, 4)},
@@ -266,6 +299,8 @@ print(json.dumps({
     "dualcamnet_acc_real": round(acc_real, 4),
     "dualcamnet_acc_generated": round(acc_gen, 4),
     "dualcamnet_trained_on_generated_acc": round(acc_gen_trained, 4),
+    "flickr_box_auc": round(box["auc"], 4),
+    "flickr_box_iou_ge_05": round(float(np.mean(box["iou"] >= 0.5)), 4),
     "train_clips": int(len(tr_act)), "test_clips": int(len(te_act)),
     "epochs": EPOCHS, "wall_s": round(time.time() - t_start, 1),
 }, indent=1), flush=True)
