@@ -38,6 +38,19 @@ from acoustic_image_generation_tpu.core.config import (
 )
 
 
+def _resnet_units(s: str) -> tuple[int, ...]:
+    """argparse type for --resnet_units: exactly 4 positive ints."""
+    try:
+        units = tuple(int(u) for u in s.split(","))
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"not a comma-separated int list: {s!r}")
+    if len(units) != 4 or any(u < 1 for u in units):
+        raise argparse.ArgumentTypeError(
+            f"--resnet_units needs 4 positive ints (e.g. 3,4,6,3), got {s!r}"
+        )
+    return units
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="acoustic_image_generation_tpu",
@@ -55,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ae", type=int, default=0)
     # extension (no reference equivalent): ResNet units per block, e.g.
     # "1,1,1,1" for the structurally identical reduced-depth test variant
-    p.add_argument("--resnet_units", type=str, default="3,4,6,3")
+    p.add_argument("--resnet_units", type=_resnet_units, default=(3, 4, 6, 3))
     p.add_argument("--proxy", type=int, default=0)
     p.add_argument("--fusion", type=int, default=0)
     p.add_argument("--moddrop", type=int, default=0)
@@ -125,7 +138,7 @@ def config_from_args(args) -> ExperimentConfig:
             mfccmap=bool(args.mfccmap),
             num_skip_conn=args.num_skip_conn,
             ae=bool(args.ae),
-            resnet_units=tuple(int(u) for u in args.resnet_units.split(",")),
+            resnet_units=args.resnet_units,
             proxy=bool(args.proxy),
             fusion=bool(args.fusion),
             moddrop=bool(args.moddrop),

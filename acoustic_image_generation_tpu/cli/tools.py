@@ -203,6 +203,49 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """Rewrite GZIP shards uncompressed for maximum ingest throughput."""
+    from acoustic_image_generation_tpu.data.convert import reshard
+
+    print(reshard(args.list_file, args.out_dir))
+    return 0
+
+
+def cmd_convert_flickr(args) -> int:
+    """FlickrSoundNet raw + XML boxes -> shards (convert_data2.py:196-311)."""
+    from acoustic_image_generation_tpu.data.convert import convert_flickr
+
+    list_path = convert_flickr(
+        args.root_raw_dir, args.out_dir, modalities=tuple(args.modalities)
+    )
+    print(json.dumps({"testing": list_path}))
+    return 0
+
+
+def cmd_convert_ave(args) -> int:
+    """AVE captures with event windows -> shards (convert_data3.py:168-288)."""
+    from acoustic_image_generation_tpu.data.convert import (
+        convert_ave,
+        write_list_files,
+    )
+
+    shards = convert_ave(args.root_raw_dir, args.out_dir, modalities=tuple(args.modalities))
+    lists = write_list_files(args.out_dir, shards)
+    print(json.dumps(lists))
+    return 0
+
+
+def cmd_convert_collected(args) -> int:
+    """2-object collected set -> shards (convert_data4.py:160-245)."""
+    from acoustic_image_generation_tpu.data.convert import convert_collected
+
+    list_path = convert_collected(
+        args.root_raw_dir, args.out_dir, modalities=tuple(args.modalities)
+    )
+    print(json.dumps({"testing": list_path}))
+    return 0
+
+
 def cmd_show(args) -> int:
     """Qualitative energy overlays + channel grids of a generation
     checkpoint over the test split (showimages.py / decodeimages.py
@@ -356,9 +399,34 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("reshard", help="rewrite shards uncompressed for ingest throughput")
     s.add_argument("list_file")
     s.add_argument("out_dir")
-    s.set_defaults(fn=lambda a: print(__import__(
-        "acoustic_image_generation_tpu.data.convert", fromlist=["reshard"]
-    ).reshard(a.list_file, a.out_dir)) or 0)
+    s.set_defaults(fn=cmd_reshard)
+
+    s = sub.add_parser(
+        "convert-flickr",
+        help="FlickrSoundNet raw (+XML boxes) -> TFRecord shards (convert_data2.py)",
+    )
+    s.add_argument("root_raw_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--modalities", nargs="*", type=int, default=[1, 2])
+    s.set_defaults(fn=cmd_convert_flickr)
+
+    s = sub.add_parser(
+        "convert-ave",
+        help="AVE captures (event windows) -> TFRecord shards (convert_data3.py)",
+    )
+    s.add_argument("root_raw_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--modalities", nargs="*", type=int, default=[1, 2])
+    s.set_defaults(fn=cmd_convert_ave)
+
+    s = sub.add_parser(
+        "convert-collected",
+        help="2-object collected set -> TFRecord shards (convert_data4.py)",
+    )
+    s.add_argument("root_raw_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--modalities", nargs="*", type=int, default=[1, 2])
+    s.set_defaults(fn=cmd_convert_collected)
 
     s = sub.add_parser("show", help="energy overlay + channel-grid renders")
     s.add_argument("checkpoint")

@@ -100,6 +100,19 @@ class ModelConfig:
     # Reduced values give a structurally identical trunk (same strides,
     # conv_map, shardings) for CPU-mesh dry runs and tests.
     resnet_units: tuple[int, int, int, int] = (3, 4, 6, 3)
+    # BatchNorm policy for the frozen ResNet trunk in the generation task:
+    # "train"  — reference-faithful: batch stats + moving-average updates
+    #            while training (mfcctrainer.py:75-79 UPDATE_OPS);
+    # "frozen" — running averages always (the trunk weights are frozen per
+    #            vision.py:70, so its BN stats only re-estimate a fixed
+    #            function; freezing them cuts the trunk forward ~44% and
+    #            makes trunk features deterministic → cacheable).
+    trunk_bn: str = "train"
+    # Compute the frozen-trunk features once per window per dataset and
+    # reuse them across epochs (requires trunk_bn="frozen"). The classic
+    # frozen-backbone optimization: steady-state training then runs at
+    # generator speed. See train/feature_cache.py and docs/PERF.md.
+    cache_trunk_features: bool = False
 
 
 @dataclass(frozen=True)

@@ -49,6 +49,10 @@ def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
     node[path[-1]] = value
 
 
+# slim.repeat scopes that nest unit vars under the repeat name (VGGish
+# conv3/conv4/fc1, /root/reference/models/vggish.py:66-73)
+_REPEAT_SCOPES = ("conv3", "conv4", "fc1")
+
 _SKIP_SUFFIXES = ("/Adam", "/Adam_1", "/Momentum")
 _SKIP_NAMES = ("global_step", "beta1_power", "beta2_power")
 
@@ -88,10 +92,16 @@ def import_scope(
             parent = ["conv_dec"]
         # slim.repeat nests units under the repeat scope ("conv3/conv3_1",
         # "fc1/fc1_2" in VGGish, vggish.py:66-73) — collapse to the unit
-        # name, which is what our flat flax modules use.
+        # name, which is what our flat flax modules use. Restricted to the
+        # known repeat-scope names so a genuinely nested scope like
+        # "foo/foo_bar" in some future checkpoint is not silently renamed.
         parent = [
             p for i, p in enumerate(parent)
-            if not (i + 1 < len(parent) and parent[i + 1].startswith(p + "_"))
+            if not (
+                p in _REPEAT_SCOPES
+                and i + 1 < len(parent)
+                and parent[i + 1].startswith(p + "_")
+            )
         ]
         if leaf == "kernel":
             if parent and parent[-1].startswith("upsample"):

@@ -162,10 +162,15 @@ def convert_capture_dir(
     wav_name: str = "audio/output_audio2.wav",
     frame_pattern: str = "video/I_{:06d}.bmp",
     video_time: int | None = None,
+    event_window: tuple[int, int] | None = None,
 ) -> list[str]:
     """Convert one capture directory (reference layout:
     ``class_X/data_YYY/{video/*.bmp, audio/output_audio2.wav,
-    video_time.txt}``) into per-second shards. Returns written paths."""
+    video_time.txt}``) into per-second shards. Returns written paths.
+
+    ``event_window=(start, end)`` adds the AVE ``event`` context label:
+    1 for seconds with start <= sec <= end, else 0
+    (``convert_data3.py:228-229``)."""
     from PIL import Image
 
     if video_time is None:
@@ -193,13 +198,232 @@ def convert_capture_dir(
                 img = np.asarray(Image.open(os.path.join(raw_dir, frame_pattern.format(idx))))
                 frames.append(prepare_video_frame(img))
             video = np.stack(frames)
+        event = None
+        if event_window is not None:
+            event = int(event_window[0] <= sec <= event_window[1])
         payload = make_second_example(
-            classes=classes, location=location, audio=audio, video=video
+            classes=classes, location=location, audio=audio, video=video,
+            event=event,
         )
         path = os.path.join(out_data_dir, f"Data_{sec + 1:03d}.tfrecord")
         tfrecord.write_records(path, [payload])
         written.append(path)
     return written
+
+
+def resample_to_12288(data: np.ndarray, fs: int) -> np.ndarray:
+    """Resample a waveform to the dualcam rate (12 fps x 1024 samples =
+    12288 Hz). The reference uses ``librosa.core.resample``
+    (``convert_data2.py:36``); this is the equivalent polyphase resampler
+    (scipy.signal.resample_poly over the rate GCD)."""
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    target = FRAMES_PER_SECOND * NUM_SAMPLES
+    if fs == target:
+        return data.astype(np.int32)
+    g = gcd(target, fs)
+    out = resample_poly(data.astype(np.float64), target // g, fs // g)
+    return out.astype(np.int32)
+
+
+def _read_image(path: str, *, size: tuple[int, int] | None = None) -> np.ndarray:
+    """Read an image as BGR uint8 (the reference reads with cv2, which is
+    BGR — ``convert_data2.py:157``; the loader's normalize_video flips the
+    channels back). ``size=(w, h)`` applies a direct bicubic resize like
+    ``cv2.resize(image, (298, 224), INTER_CUBIC)`` (``convert_data2.py:165``)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize(size, Image.BICUBIC)
+    rgb = np.asarray(img, dtype=np.uint8)
+    return rgb[..., ::-1]  # RGB -> BGR byte order, as stored by cv2
+
+
+def parse_flickr_xml(xml_path: str, image_name: str) -> dict:
+    """FlickrSoundNet annotation XML -> up to 3 boxes scaled onto the
+    224x298 frame (``/root/reference/convert_data2.py:224-262``).
+
+    Faithful quirks: the reference hardcodes the source geometry to
+    256x256 (``rows = 256; cols = 256``) regardless of the actual image,
+    scaling x by 298/256 and y by 224/256; ``type == 'object'`` maps to
+    typescene 1, ``'ambient sound'`` to 0. Returns (3,) int32 arrays
+    xmin/xmax/ymin/ymax/typescene (unused slots zero)."""
+    import xml.etree.ElementTree as ET
+
+    horizontal_scale = VIDEO_W / 256
+    vertical_scale = VIDEO_H / 256
+    root = ET.parse(xml_path).getroot()
+    assert root.find("file_name").text == image_name, (xml_path, image_name)
+    out = {k: np.zeros(3, np.int32)
+           for k in ("xmin", "xmax", "ymin", "ymax", "typescene")}
+    for num_p, member in enumerate(root.findall("person")[:3]):
+        bndbox = member.find("bbox")
+        out["typescene"][num_p] = 1 if bndbox.find("type").text == "object" else 0
+        out["xmin"][num_p] = int(round(int(bndbox.find("xmin").text) * horizontal_scale))
+        out["xmax"][num_p] = int(round(int(bndbox.find("xmax").text) * horizontal_scale))
+        out["ymin"][num_p] = int(round(int(bndbox.find("ymin").text) * vertical_scale))
+        out["ymax"][num_p] = int(round(int(bndbox.find("ymax").text) * vertical_scale))
+    return out
+
+
+def _one_second_audio(wav_12288: np.ndarray) -> np.ndarray:
+    """First second of a 12288 Hz waveform as (12, 1024) int32, zero-padded
+    when shorter."""
+    need = FRAMES_PER_SECOND * NUM_SAMPLES
+    buf = np.zeros(need, np.int32)
+    n = min(len(wav_12288), need)
+    buf[:n] = wav_12288[:n]
+    return buf.reshape(FRAMES_PER_SECOND, NUM_SAMPLES)
+
+
+def convert_flickr(root_raw_dir: str, out_dir: str,
+                   *, modalities: tuple[int, ...] = (1, 2)) -> str:
+    """FlickrSoundNet raw -> TFRecord shards + test list
+    (``/root/reference/convert_data2.py:196-311``).
+
+    Reads ``{root}/test_list.txt`` and, for every listed jpg under
+    ``{root}/Dataset/Data/*/``, converts the wav (resampled to 12288 Hz),
+    the jpg (direct 298x224 bicubic resize, ``:165``), and the XML boxes
+    (``parse_flickr_xml``). Layout normalization vs the reference (which
+    stores ONE frame + the full-length audio per record): records here
+    hold one *second* — the frame tiled 12x, the first 12x1024 audio
+    samples, and the boxes per frame — the layout every loader in this
+    framework consumes (and what the reference's nr_frames=1 eval slices
+    out again, ``showimages_bb.py:24,87-94``). Returns the written list
+    file path (``{root}/test.txt`` equivalent: ``{out}/testing.txt``)."""
+    import glob as _glob
+
+    with open(os.path.join(root_raw_dir, "test_list.txt")) as f:
+        test_list = {line.strip() for line in f if line.strip()}
+    include_audio = 1 in modalities
+    include_video = 2 in modalities
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    data_dirs = sorted(_glob.glob(os.path.join(root_raw_dir, "Dataset", "Data", "*/")))
+    for data_dir in data_dirs:
+        for image in sorted(os.listdir(data_dir)):
+            if not image.endswith(".jpg") or image not in test_list:
+                continue
+            num = image[: -len(".jpg")]
+            boxes3 = parse_flickr_xml(
+                os.path.join(root_raw_dir, "Dataset", "Annotations", f"{num}.xml"),
+                image,
+            )
+            boxes = {k: np.tile(v, (FRAMES_PER_SECOND, 1)) for k, v in boxes3.items()}
+            audio = None
+            if include_audio:
+                from scipy.io import wavfile
+
+                fs, data = wavfile.read(os.path.join(data_dir, f"{num}.wav"))
+                if data.ndim > 1:
+                    data = data[:, 0]
+                audio = _one_second_audio(resample_to_12288(data, fs))
+            video = None
+            if include_video:
+                frame = _read_image(
+                    os.path.join(data_dir, image), size=(VIDEO_W, VIDEO_H)
+                )
+                video = np.tile(frame[None], (FRAMES_PER_SECOND, 1, 1, 1))
+            payload = make_second_example(
+                classes=0, location=0, audio=audio, video=video, boxes=boxes
+            )
+            path = os.path.join(out_dir, f"{num}.tfrecord")
+            tfrecord.write_records(path, [payload])
+            written.append(path)
+    list_path = os.path.join(out_dir, "testing.txt")
+    with open(list_path, "w") as f:
+        for p in written:
+            f.write(p + "\n")
+    return list_path
+
+
+def convert_ave(root_raw_dir: str, out_dir: str,
+                *, modalities: tuple[int, ...] = (1, 2)) -> list[str]:
+    """AVE raw captures -> per-second TFRecord shards with the ``event``
+    context label (``/root/reference/convert_data3.py:168-288``).
+
+    Walks ``{root}/*/*/video/`` capture dirs; class id comes from the
+    ``class_N`` path element, location from ``data_NNN``; ``video_time.txt``
+    gives the clip length and ``seconds.txt`` the ``start:end`` window in
+    which the audio-visual event is active — seconds inside [start, end]
+    get event=1 (``:228-229``). Output layout
+    ``{out}/class_{c}/data_{v:03d}/Data_{s:03d}.tfrecord``."""
+    import glob as _glob
+    import re
+
+    written = []
+    for video_dir in sorted(_glob.glob(os.path.join(root_raw_dir, "*", "*", "video/"))):
+        capture = os.path.dirname(os.path.dirname(video_dir))
+        parts = capture.split(os.sep)
+        classes = int(next(p for p in parts if re.match(r"class_", p)).split("_")[1])
+        location = int(next(p for p in parts if re.match(r"data_", p)).split("_")[1])
+        with open(os.path.join(capture, "seconds.txt")) as f:
+            t = f.read().strip()
+            start, end = int(t.split(":")[0]), int(t.split(":")[1])
+        with open(os.path.join(capture, "video_time.txt")) as f:
+            video_time = int(f.readline().split(":")[1].strip())
+        paths = convert_capture_dir(
+            capture, out_dir, classes=classes, location=location,
+            modalities=modalities, video_time=video_time,
+            event_window=(start, end),
+        )
+        written.extend(paths)
+    return written
+
+
+# 2-object collected set: file number -> class id
+# (/root/reference/convert_data4.py:181).
+COLLECTED_CLASSNUMBERS = (9, 9, 9, 9, 9, 9, 2, 9, 9, 4, 6, 7, 6, 1, 1, 8, 8,
+                          2, 2, 0, 2, 3, 5)
+
+
+def convert_collected(root_raw_dir: str, out_dir: str,
+                      *, modalities: tuple[int, ...] = (1, 2)) -> str:
+    """2-object collected set -> TFRecord shards with the ``classnumber``
+    context feature (``/root/reference/convert_data4.py:160-245``): a flat
+    directory of ``N.png`` + ``N.wav`` pairs filtered by
+    ``{root}/test_list.txt``; classnumber = COLLECTED_CLASSNUMBERS[N-1].
+    Same one-second layout normalization as ``convert_flickr``. Returns
+    the written list file."""
+    with open(os.path.join(root_raw_dir, "test_list.txt")) as f:
+        test_list = {line.strip() for line in f if line.strip()}
+    include_audio = 1 in modalities
+    include_video = 2 in modalities
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for image in sorted(os.listdir(root_raw_dir)):
+        if not image.endswith(".png") or image not in test_list:
+            continue
+        num = int(image[: -len(".png")])
+        audio = None
+        if include_audio:
+            from scipy.io import wavfile
+
+            fs, data = wavfile.read(os.path.join(root_raw_dir, f"{num}.wav"))
+            if data.ndim > 1:
+                data = data[:, 0]
+            audio = _one_second_audio(resample_to_12288(data, fs))
+        video = None
+        if include_video:
+            frame = _read_image(
+                os.path.join(root_raw_dir, image), size=(VIDEO_W, VIDEO_H)
+            )
+            video = np.tile(frame[None], (FRAMES_PER_SECOND, 1, 1, 1))
+        payload = make_second_example(
+            classes=0, location=0, audio=audio, video=video,
+            classnumber=int(COLLECTED_CLASSNUMBERS[num - 1]),
+        )
+        path = os.path.join(out_dir, f"{num}.tfrecord")
+        tfrecord.write_records(path, [payload])
+        written.append(path)
+    list_path = os.path.join(out_dir, "testing.txt")
+    with open(list_path, "w") as f:
+        for p in written:
+            f.write(p + "\n")
+    return list_path
 
 
 def write_list_files(out_dir: str, shard_paths: list[str], splits=(0.7, 0.15, 0.15)) -> dict:

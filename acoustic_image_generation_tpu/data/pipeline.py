@@ -40,6 +40,11 @@ class RawBatch:
     # (xmin/xmax/ymin/ymax (N, F, 3) int32, frames.py:250-299), AVE `event`
     # ids, 2-object `classnumber` (framesclass.py:247-248)
     extras: dict | None = None
+    # stable per-epoch window identities (indices into plan.windows),
+    # shape (N,); padded rows repeat the last real id. Used by the
+    # frozen-trunk feature cache (train/feature_cache.py) to key cached
+    # trunk activations across epochs.
+    window_ids: np.ndarray | None = None
 
     @property
     def frames(self) -> int:
@@ -161,7 +166,17 @@ class AcousticImageDataLoader:
                     )
                 )
         first = records[0]
-        cat = lambda key: np.concatenate([getattr(r, key) for r in records])
+
+        def cat(key):
+            # a modality can be requested but absent from the shard (e.g.
+            # FlickrSoundNet has no acoustic images, frames.py:315) — the
+            # reference loader substitutes zeros at parse time; here the
+            # window reports None and _assemble zero-fills the slab
+            parts = [getattr(r, key) for r in records]
+            if any(p is None for p in parts):
+                return None
+            return np.concatenate(parts)
+
         return DecodedRecord(
             acoustic=cat("acoustic") if self.include_acoustic else None,
             audio=cat("audio") if self.include_audio else None,
@@ -237,9 +252,15 @@ class AcousticImageDataLoader:
                             )
                         )
                         valid = len(decoded)
+                        ids = np.asarray(idxs, np.int64)
                         if valid < bs:
                             decoded += [decoded[-1]] * (bs - valid)
-                        out_q.put(self._assemble(decoded, valid))
+                            ids = np.concatenate(
+                                [ids, np.full((bs - valid,), ids[-1], np.int64)]
+                            )
+                        batch = self._assemble(decoded, valid)
+                        batch.window_ids = ids
+                        out_q.put(batch)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 out_q.put(e)

@@ -221,30 +221,53 @@ class ResNet50(nn.Module):
     # (ops/pallas_conv_stats): saves the separate BN-stats HBM read pass.
     # Forward-only — requires freeze_trunk.
     fused_bn_stats: bool = False
+    # Run the trunk's BatchNorms on running averages even in train mode
+    # (the head's conv_map/logits BN still follows ``train``). The
+    # reference updates trunk BN stats while training the generator
+    # (mfcctrainer.py:75-79 UPDATE_OPS), but since the trunk weights are
+    # frozen (vision.py:70 var_list) the stats only re-estimate a fixed
+    # function — freezing them is numerically defensible and removes the
+    # train-BN second stats pass over every activation (measured 387 ms
+    # -> 219 ms trunk forward at 768 frames on v5e). It also makes the
+    # trunk a *deterministic* per-frame function, which is what enables
+    # trunk-feature caching across epochs (train/feature_cache.py).
+    trunk_bn_frozen: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
-        net = _ConvBN(64, (7, 7), 2, fixed_pad=True, name="conv1", dtype=self.dtype)(
-            x, train=train
-        )
-        net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
-        unit_cls = (
-            nn.remat(BottleneckV1, static_argnums=(2,)) if self.remat else BottleneckV1
-        )
-        for b, (base_depth, num_units, block_stride) in enumerate(self.blocks, start=1):
-            for u in range(1, num_units + 1):
-                stride = block_stride if u == num_units else 1
-                net = unit_cls(
-                    depth=base_depth * 4,
-                    depth_bottleneck=base_depth,
-                    stride=stride,
-                    fused_stats=self.fused_bn_stats,
-                    name=f"block{b}_unit_{u}",
-                    dtype=self.dtype,
-                )(net, train)
-        if self.freeze_trunk:
-            net = jax.lax.stop_gradient(net)
+    def __call__(self, x, *, train: bool = True, mode: str = "full"):
+        """``mode``: "full" = trunk + head; "trunk" = stop after the frozen
+        boundary (block4 output, the stop_gradient cut); "head" = treat
+        ``x`` as a cached trunk feature and apply conv_map(+logits) only.
+        The split exists so frozen-trunk training can compute the trunk
+        once per frame per dataset instead of once per step."""
+        assert mode in ("full", "trunk", "head"), mode
+        if mode != "head":
+            trunk_train = False if self.trunk_bn_frozen else train
+            net = _ConvBN(64, (7, 7), 2, fixed_pad=True, name="conv1", dtype=self.dtype)(
+                x, train=trunk_train
+            )
+            net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+            unit_cls = (
+                nn.remat(BottleneckV1, static_argnums=(2,)) if self.remat else BottleneckV1
+            )
+            for b, (base_depth, num_units, block_stride) in enumerate(self.blocks, start=1):
+                for u in range(1, num_units + 1):
+                    stride = block_stride if u == num_units else 1
+                    net = unit_cls(
+                        depth=base_depth * 4,
+                        depth_bottleneck=base_depth,
+                        stride=stride,
+                        fused_stats=self.fused_bn_stats,
+                        name=f"block{b}_unit_{u}",
+                        dtype=self.dtype,
+                    )(net, trunk_train)
+            if self.freeze_trunk:
+                net = jax.lax.stop_gradient(net)
+            if mode == "trunk":
+                return net
+        else:
+            net = x if self.dtype is None else x.astype(self.dtype)
         net = _ConvBN(12, (3, 4), 1, padding="VALID", name="conv_map", dtype=self.dtype)(
             net, train=train
         )

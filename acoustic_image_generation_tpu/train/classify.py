@@ -137,9 +137,10 @@ class CorrespondenceTask(ClassificationTask):
     silence-MFCC fakes labeled 0 — ``outdoor_data_mfcc.py:888-928``; enable
     ``data.correspondence`` so the trainer doubles each batch).
 
-    NOTE: remainder batches must be dropped (the default for training);
-    the eval mask assumes the doubled batch is fully valid because the
-    augmented halves are concatenated, not interleaved.
+    Padded remainder batches are handled: the trainer's eval mask is
+    computed per concatenated half (``Trainer._eval_step_impl``), so the
+    real-prefix of both the true and the fake half is counted and the
+    padding in each is excluded.
     """
 
     def __init__(self, config: ExperimentConfig):

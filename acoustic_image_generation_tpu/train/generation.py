@@ -43,7 +43,13 @@ class GenerationTask:
         # conv_map/logits only (mfcctrainer.py:64, vision.py:70) — the
         # ImageNet backbone is a frozen feature extractor whose BN stats
         # still update. Freezing also removes the trunk backward pass.
-        self.resnet = ResNet50(blocks=blocks, dtype=dt, freeze_trunk=True)
+        # trunk_bn="frozen" additionally pins the trunk BNs to their
+        # running averages (deterministic trunk — see ModelConfig.trunk_bn).
+        self.trunk_bn_frozen = config.model.trunk_bn == "frozen"
+        self.resnet = ResNet50(
+            blocks=blocks, dtype=dt, freeze_trunk=True,
+            trunk_bn_frozen=self.trunk_bn_frozen,
+        )
         self.generator = UNetAcResNet(
             channels=ch,
             skips=config.model.num_skip_conn,
@@ -82,20 +88,46 @@ class GenerationTask:
 
     # ------------------------------------------------------------------ loss
 
-    def _forward(self, params, batch_stats, batch: Batch, rngs, *, train: bool):
+    def trunk_features(self, params, batch_stats, video):
+        """Frozen-trunk features at the stop_gradient boundary (block4
+        output, pre-conv_map). Deterministic per frame when
+        trunk_bn="frozen" — the cacheable quantity of
+        train/feature_cache.py. Returned in the compute dtype (bfloat16
+        on TPU) so the cache is half-size."""
+        return self.resnet.apply(
+            {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
+            video,
+            train=False,
+            mode="trunk",
+        )
+
+    def _forward(
+        self, params, batch_stats, batch: Batch, rngs, *, train: bool, trunk_feat=None
+    ):
+        video_or_feat = batch.video if trunk_feat is None else trunk_feat
+        mode = "full" if trunk_feat is None else "head"
         if train:
             feat, mutated = self.resnet.apply(
                 {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
-                batch.video,
+                video_or_feat,
                 train=True,
+                mode=mode,
                 mutable=["batch_stats"],
             )
-            new_stats = {"resnet": mutated["batch_stats"]}
+            if trunk_feat is None:
+                new_stats = {"resnet": mutated["batch_stats"]}
+            else:
+                # head-only apply declares only conv_map/logits stats; keep
+                # the (frozen) trunk stats so the state tree stays intact
+                new_stats = {
+                    "resnet": {**batch_stats["resnet"], **mutated["batch_stats"]}
+                }
         else:
             feat = self.resnet.apply(
                 {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
-                batch.video,
+                video_or_feat,
                 train=False,
+                mode=mode,
             )
             new_stats = batch_stats
         out = self.generator.apply(
@@ -106,8 +138,10 @@ class GenerationTask:
         )
         return out, new_stats
 
-    def loss(self, params, batch_stats, batch: Batch, rngs, *, train: bool):
-        out, new_stats = self._forward(params, batch_stats, batch, rngs, train=train)
+    def loss(self, params, batch_stats, batch: Batch, rngs, *, train: bool, trunk_feat=None):
+        out, new_stats = self._forward(
+            params, batch_stats, batch, rngs, train=train, trunk_feat=trunk_feat
+        )
         cfg = self.cfg.optim
         recon = out.output.astype(jnp.float32)
         target = batch.acoustic

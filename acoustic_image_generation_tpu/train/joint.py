@@ -209,8 +209,11 @@ class JointTask:
         )
         z_ac = head("acoustic", ac_feat)
         z_true = head("acoustic", f_ac)
-        z_au = head("audio", f_au)
-        z_vi = head("video", f_vi)
+        # audio/video heads run over the associator's TRANSLATED features,
+        # not the raw encoder features — extract_j.py:126-127 builds
+        # modelaudio/_images over model_associator.outputaudio/outputvideo
+        z_au = head("audio", fused["audio"])
+        z_vi = head("video", fused["video"])
 
         def z(out, eps_key, dim):
             mean, std = out[1].astype(jnp.float32), out[2].astype(jnp.float32)

@@ -31,6 +31,7 @@ from datetime import datetime
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from acoustic_image_generation_tpu.core import rng as rng_mod
@@ -69,6 +70,27 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._init = jax.jit(self._init_impl)
+
+        # Frozen-trunk feature cache (train/feature_cache.py): active when
+        # the config asks for it, the task exposes the trunk split, the
+        # trunk is deterministic (trunk_bn="frozen"), and no
+        # correspondence augmentation reshuffles batch rows.
+        self.feature_cache = None
+        if (
+            getattr(config.model, "cache_trunk_features", False)
+            and hasattr(task, "trunk_features")
+            and getattr(task, "trunk_bn_frozen", False)
+            and not config.data.correspondence
+        ):
+            from acoustic_image_generation_tpu.train.feature_cache import (
+                TrunkFeatureCache,
+            )
+
+            self.feature_cache = TrunkFeatureCache()
+            self._trunk_features = jax.jit(self._trunk_features_impl)
+            self._train_step_cached = jax.jit(
+                self._train_step_cached_impl, donate_argnums=(0,)
+            )
 
     # ---------------------------------------------------------------- batch
 
@@ -163,14 +185,56 @@ class Trainer:
             metrics,
         )
 
+    def _trunk_features_impl(self, state: TrainState, video):
+        """(N, F, 224, 298, 3) uint8 -> (N*F, 14, 19, 2048) frozen-trunk
+        features at the stop_gradient boundary."""
+        flat = video.reshape(-1, *video.shape[2:])
+        return self.task.trunk_features(
+            state.params, state.batch_stats, preprocess.normalize_video(flat)
+        )
+
+    def _train_step_cached_impl(self, state: TrainState, raw: dict, trunk_feat):
+        """Train step consuming cached trunk features; the video tensor in
+        ``raw`` is a dummy (the trunk never runs)."""
+        batch = self._prepare(raw)
+        rngs = rng_mod.train_step_rngs(self.base_key, state.step)
+
+        def loss_fn(params):
+            loss, metrics, new_stats = self.task.loss(
+                params, state.batch_stats, batch, rngs, train=True,
+                trunk_feat=trunk_feat,
+            )
+            return loss, (metrics, new_stats)
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
     def _eval_step_impl(self, state: TrainState, raw: dict, key):
         batch = self._prepare(raw)
         rngs = {"latent": key, "dropout": key, "moddrop": key}
         losses, _ = self.task.eval_losses(state.params, state.batch_stats, batch, rngs)
         n_total = next(iter(losses.values())).shape[0]
-        per_clip_frames = n_total // raw["action"].shape[0]
+        # Correspondence augmentation CONCATENATES a second (fake) half onto
+        # the batch (preprocess.correspondence_augment), so in a padded
+        # remainder batch the real rows are a prefix of EACH half, not of
+        # the whole vector — mask per half (outdoor_data_mfcc.py:888-928).
+        halves = 2 if self.cfg.data.correspondence else 1
+        per_clip = n_total // (raw["action"].shape[0] * halves)
+        half_len = n_total // halves
         mask = (
-            jnp.arange(n_total) < raw["valid"] * per_clip_frames
+            jnp.arange(n_total) % half_len < raw["valid"] * per_clip
         ).astype(jnp.float32)
         sums = {k: jnp.sum(v * mask) for k, v in losses.items()}
         return sums, jnp.sum(mask)
@@ -178,8 +242,48 @@ class Trainer:
     # ---------------------------------------------------------------- loops
 
     def train_step(self, state, raw_batch):
+        if (
+            self.feature_cache is not None
+            and getattr(raw_batch, "window_ids", None) is not None
+        ):
+            return self._train_step_with_cache(state, raw_batch)
         raw = self.device_batch(raw_batch)
         return self._train_step(state, raw)
+
+    def _train_step_with_cache(self, state, raw_batch):
+        from acoustic_image_generation_tpu.train import feature_cache as fc
+
+        feat = fc.gather_batch(
+            self.feature_cache, raw_batch.window_ids, raw_batch.valid
+        )
+        if feat is None:
+            # cache miss: run the trunk once for this batch, persist per
+            # window, and feed the step from the fresh device result
+            video = jax.device_put(raw_batch.video, self._batch_sharding)
+            feat = self._trunk_features(state, video)
+            host = np.asarray(jax.device_get(feat))
+            f = raw_batch.frames
+            for i in range(raw_batch.valid):
+                if not self.feature_cache.put(
+                    int(raw_batch.window_ids[i]), host[i * f : (i + 1) * f]
+                ):
+                    break  # budget exhausted; later misses recompute
+        else:
+            feat = jax.device_put(feat, self._batch_sharding)
+        # the trunk never runs in the cached step: ship a 1x1 dummy video
+        # so the batch upload drops from ~150 MB to bytes
+        n, f = raw_batch.video.shape[:2]
+        raw = {
+            "acoustic": jax.device_put(raw_batch.acoustic, self._batch_sharding),
+            "audio": jax.device_put(raw_batch.audio, self._batch_sharding),
+            "video": jax.device_put(
+                np.zeros((n, f, 1, 1, 3), np.uint8), self._batch_sharding
+            ),
+            "action": jax.device_put(raw_batch.action, self._batch_sharding),
+            "location": jax.device_put(raw_batch.location, self._batch_sharding),
+            "valid": jnp.int32(raw_batch.valid),
+        }
+        return self._train_step_cached(state, raw, feat)
 
     def evaluate(self, state: TrainState, loader, epoch: int = 0) -> dict:
         """Size-weighted mean eval losses (trainer/*.py ``_evaluate``).

@@ -43,12 +43,13 @@ int fail(const std::string& msg) {
 //
 // TFRecord framing checksums use CRC32-C (Castagnoli, reflected poly
 // 0x82F63B78) with the "masked" form ((crc >> 15 | crc << 17) + 0xa282ead8).
-// Slicing-by-8 table implementation; tables built once on first use.
+// Slicing-by-8 table implementation; tables built eagerly at load time
+// (a static initializer) — decode_file_into runs on multiple loader
+// threads with the GIL released, so a lazy first-use flag would race.
 
 uint32_t g_crc_tab[8][256];
-bool g_crc_init = false;
 
-void crc32c_init() {
+int crc32c_init() {
   for (uint32_t i = 0; i < 256; ++i) {
     uint32_t c = i;
     for (int k = 0; k < 8; ++k) c = (c >> 1) ^ (0x82F63B78u & (0u - (c & 1)));
@@ -61,11 +62,12 @@ void crc32c_init() {
       g_crc_tab[t][i] = c;
     }
   }
-  g_crc_init = true;
+  return 0;
 }
 
+const int g_crc_init_done = crc32c_init();
+
 uint32_t crc32c(const uint8_t* p, size_t len) {
-  if (!g_crc_init) crc32c_init();
   uint32_t c = 0xFFFFFFFFu;
   while (len >= 8) {
     uint32_t lo;

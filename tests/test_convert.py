@@ -169,3 +169,199 @@ def test_mux_mic_wav_from_dc_captures(tmp_path):
     expected = expected / abs(max(expected.min(), expected.max(), key=abs))
     np.testing.assert_allclose(data, expected, rtol=1e-6)
     assert abs(data).max() <= 1.0
+
+
+# ------------------------------------------------- dataset-family converters
+
+
+def _write_wav(path, seconds=1.5, fs=22050):
+    from scipy.io import wavfile
+
+    t = np.arange(int(seconds * fs))
+    data = (10000 * np.sin(2 * np.pi * 440 * t / fs)).astype(np.int16)
+    wavfile.write(path, fs, data)
+
+
+def _write_image(path, size=(256, 256), seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size[1], size[0], 3), np.uint8)
+    Image.fromarray(img).save(path)
+
+
+def _flickr_xml(path, name, boxes):
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("annotation")
+    ET.SubElement(root, "file_name").text = name
+    for (x0, y0, x1, y1, kind) in boxes:
+        person = ET.SubElement(root, "person")
+        bb = ET.SubElement(person, "bbox")
+        ET.SubElement(bb, "type").text = kind
+        ET.SubElement(bb, "xmin").text = str(x0)
+        ET.SubElement(bb, "ymin").text = str(y0)
+        ET.SubElement(bb, "xmax").text = str(x1)
+        ET.SubElement(bb, "ymax").text = str(y1)
+    import xml.etree.ElementTree as ET2
+
+    ET2.ElementTree(root).write(path)
+
+
+@pytest.fixture()
+def flickr_raw(tmp_path):
+    """Reference FlickrSoundNet raw layout (convert_data2.py:196-232)."""
+    root = tmp_path / "flickr_raw"
+    data = root / "Dataset" / "Data" / "0"
+    ann = root / "Dataset" / "Annotations"
+    data.mkdir(parents=True)
+    ann.mkdir(parents=True)
+    names = []
+    for i in (3, 7):
+        _write_image(str(data / f"{i}.jpg"), seed=i)
+        _write_wav(str(data / f"{i}.wav"))
+        _flickr_xml(
+            str(ann / f"{i}.xml"),
+            f"{i}.jpg",
+            [(10, 20, 120, 200, "object"), (30, 40, 60, 90, "ambient sound")],
+        )
+        names.append(f"{i}.jpg")
+    (root / "test_list.txt").write_text("\n".join(names) + "\n")
+    return str(root)
+
+
+def test_convert_flickr_roundtrip_boxes(flickr_raw, tmp_path):
+    """convert_data2.py parity: raw jpg/wav/xml -> shards -> loader with
+    include_boxes -> scaled (298/256, 224/256) int32 boxes per frame."""
+    from acoustic_image_generation_tpu.data.convert import convert_flickr
+
+    list_path = convert_flickr(flickr_raw, str(tmp_path / "out"))
+    assert os.path.exists(list_path)
+    loader = AcousticImageDataLoader(
+        list_path, "testing", 2, include_boxes=True, drop_remainder=False
+    )
+    raw = next(iter(loader.batches(0)))
+    assert raw.valid == 2
+    assert raw.video.shape == (2, 12, 224, 298, 3)
+    # box scaling: xmin 10 * 298/256 = 11.64 -> 12; ymax 200 * 224/256 = 175
+    assert raw.extras["xmin"][0, 0, 0] == round(10 * 298 / 256)
+    assert raw.extras["ymax"][0, 0, 0] == round(200 * 224 / 256)
+    assert raw.extras["typescene"][0, 0, 0] == 1  # object
+    assert raw.extras["typescene"][0, 0, 1] == 0  # ambient sound
+    # third (absent) box slot stays zero
+    assert raw.extras["xmax"][0, 0, 2] == 0
+    # audio is resampled + chunked into (12, 1024) int32, nonzero
+    assert raw.audio.shape == (2, 12, 1024)
+    assert np.abs(raw.audio).max() > 0
+
+
+@pytest.mark.slow
+def test_convert_flickr_feeds_box_iou_sweep(flickr_raw, tmp_path):
+    """The full reference eval path (showimages_bb.py): converted Flickr
+    shards -> loader -> generation model -> weighted box IoU sweep +
+    area.txt artifact."""
+    import jax
+
+    from acoustic_image_generation_tpu.core.config import (
+        DataConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        ParallelConfig, RunConfig,
+    )
+    from acoustic_image_generation_tpu.data.convert import convert_flickr
+    from acoustic_image_generation_tpu.evaluation.localize_boxes import (
+        run_box_iou_sweep,
+    )
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    list_path = convert_flickr(flickr_raw, str(tmp_path / "out"))
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(embedding=True, mfcc=True, resnet_units=(1, 1, 1, 1)),
+        optim=OptimConfig(num_epochs=1),
+        run=RunConfig(exp_name="flickr", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    loader = AcousticImageDataLoader(
+        list_path, "testing", 8, include_boxes=True, drop_remainder=False
+    )
+    task = GenerationTask(cfg)
+    trainer = Trainer(task, cfg)
+    first = next(iter(loader.batches(0)))
+    state = jax.device_get(trainer.init_state(first))
+    res = run_box_iou_sweep(task, state, loader, str(tmp_path / "bb"))
+    assert np.all(np.isfinite(res["iou"]))
+    assert os.path.exists(os.path.join(str(tmp_path / "bb"), "area.txt"))
+
+
+@pytest.fixture()
+def ave_raw(tmp_path):
+    """Reference AVE raw layout (convert_data3.py:181-230)."""
+    from scipy.io import wavfile
+
+    root = tmp_path / "ave_raw"
+    cap = root / "class_3" / "data_002"
+    (cap / "video").mkdir(parents=True)
+    (cap / "audio").mkdir(parents=True)
+    seconds = 3
+    fs = 12 * 1024
+    t = np.arange(seconds * fs)
+    wav = (5000 * np.sin(2 * np.pi * 220 * t / fs)).astype(np.int16)
+    wavfile.write(str(cap / "audio" / "output_audio2.wav"), fs, wav)
+    for i in range(12 * seconds):
+        _write_image(str(cap / "video" / f"I_{i + 1:06d}.bmp"), size=(640, 480), seed=i)
+    (cap / "video_time.txt").write_text(f"time: {seconds}\n")
+    (cap / "seconds.txt").write_text("1:2\n")
+    return str(root)
+
+
+def test_convert_ave_roundtrip_event(ave_raw, tmp_path):
+    """convert_data3.py parity: capture dir + seconds.txt -> per-second
+    shards with event=1 inside [start, end] (eventloader.py:262-264)."""
+    from acoustic_image_generation_tpu.data.convert import convert_ave
+
+    shards = convert_ave(ave_raw, str(tmp_path / "out"))
+    assert len(shards) == 3
+    list_path = str(tmp_path / "ave_list.txt")
+    with open(list_path, "w") as f:
+        f.write("\n".join(shards) + "\n")
+    loader = AcousticImageDataLoader(
+        list_path, "testing", 3, include_extras=("event",), drop_remainder=False,
+        shuffle=False,
+    )
+    raw = next(iter(loader.batches(0)))
+    assert raw.valid == 3
+    # seconds.txt "1:2": second 0 -> 0, seconds 1-2 -> 1
+    assert sorted(raw.extras["event"].tolist()) == [0, 1, 1]
+    assert raw.action.tolist() == [3, 3, 3]
+    assert raw.location.tolist() == [2, 2, 2]
+
+
+@pytest.fixture()
+def collected_raw(tmp_path):
+    root = tmp_path / "collected_raw"
+    root.mkdir()
+    for i in (14, 20):
+        _write_image(str(root / f"{i}.png"), seed=i)
+        _write_wav(str(root / f"{i}.wav"))
+    (root / "test_list.txt").write_text("14.png\n20.png\n")
+    return str(root)
+
+
+def test_convert_collected_roundtrip_classnumber(collected_raw, tmp_path):
+    """convert_data4.py parity: flat png/wav dir -> shards with the
+    hardcoded classnumber table (framesclass.py:247-248)."""
+    from acoustic_image_generation_tpu.data.convert import (
+        COLLECTED_CLASSNUMBERS,
+        convert_collected,
+    )
+
+    list_path = convert_collected(collected_raw, str(tmp_path / "out"))
+    loader = AcousticImageDataLoader(
+        list_path, "testing", 2, include_extras=("classnumber",),
+        drop_remainder=False, shuffle=False,
+    )
+    raw = next(iter(loader.batches(0)))
+    assert raw.valid == 2
+    got = sorted(raw.extras["classnumber"].tolist())
+    want = sorted([COLLECTED_CLASSNUMBERS[13], COLLECTED_CLASSNUMBERS[19]])
+    assert got == want

@@ -253,3 +253,79 @@ def test_crash_checkpoint_on_midtrain_failure(tiny_dataset, tmp_path):
     template = trainer.init_state(first)
     restored = trainer.restore(paths[0], template)
     assert int(restored.step) >= 1  # the completed steps were persisted
+
+
+@pytest.mark.slow
+def test_trunk_feature_cache_matches_full_step(tiny_dataset, tmp_path):
+    """Frozen-trunk feature caching (train/feature_cache.py): with
+    trunk_bn="frozen" the cached-feature train step must produce the same
+    loss and parameter updates as the full step, and epoch 2 must be
+    served from cache (zero misses)."""
+    import jax
+
+    kw = dict(
+        embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1),
+        trunk_bn="frozen",
+    )
+    cfg_full = make_config(tmp_path / "full", **kw)
+    cfg_cached = make_config(tmp_path / "cached", **kw, cache_trunk_features=True)
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    for raw in loader.batches(0):
+        break
+
+    tr_full = Trainer(GenerationTask(cfg_full), cfg_full)
+    tr_cached = Trainer(GenerationTask(cfg_cached), cfg_cached)
+    assert tr_full.feature_cache is None
+    assert tr_cached.feature_cache is not None
+
+    s_full = tr_full.init_state(raw)
+    s_cached = tr_cached.init_state(raw)
+
+    s_full, m_full = tr_full.train_step(s_full, raw)
+    s_cached, m_cached = tr_cached.train_step(s_cached, raw)
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_cached["loss"]), rtol=1e-5
+    )
+    # params must match after the update (same grads either path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_full.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s_cached.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+    # second step on the same batch: served from cache
+    misses_before = tr_cached.feature_cache.misses
+    s_cached, m2 = tr_cached.train_step(s_cached, raw)
+    assert tr_cached.feature_cache.misses == misses_before
+    assert tr_cached.feature_cache.hits > 0
+    assert np.isfinite(float(m2["loss"]))
+
+
+@pytest.mark.slow
+def test_trunk_bn_frozen_disables_stat_updates(tiny_dataset, tmp_path):
+    """trunk_bn="frozen": trunk BN running stats stay bit-identical through
+    a train step; conv_map (head) stats still update like the reference's
+    UPDATE_OPS (mfcctrainer.py:75-79)."""
+    import jax
+
+    cfg = make_config(
+        tmp_path, embedding=True, mfcc=True, num_skip_conn=1,
+        resnet_units=(1, 1, 1, 1), trunk_bn="frozen",
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    for raw in loader.batches(0):
+        break
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    state = trainer.init_state(raw)
+    stats_before = jax.device_get(state.batch_stats)
+    s1, _ = trainer.train_step(state, raw)
+    stats_after = jax.device_get(s1.batch_stats)
+    for k in stats_before["resnet"]:
+        same = all(
+            np.array_equal(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(stats_before["resnet"][k]),
+                jax.tree_util.tree_leaves(stats_after["resnet"][k]),
+            )
+        )
+        assert same == (k != "conv_map"), k
