@@ -128,6 +128,12 @@ class OptimConfig:
     # resnet_v1 arg scope weight decay (vision.py:54); contributes to the
     # total loss exactly like tf.losses.get_total_loss() did.
     resnet_weight_decay: float = 5e-4
+    # TF1 AdamOptimizer numerics (bias correction in the step size, eps on
+    # the uncorrected sqrt(v) — train/optim.py); False = optax.adam.
+    # Default True: every reference trainer uses tf.train.AdamOptimizer
+    # (mfcctrainer.py:64) and the placement of eps measurably changes
+    # early-training weights (tests/test_parity_tf.py trajectory test).
+    tf1_adam: bool = True
 
 
 @dataclass(frozen=True)

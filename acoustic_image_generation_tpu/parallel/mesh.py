@@ -47,16 +47,29 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 16):
+def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 18,
+                  min_shard_rows: int = 8):
     """ZeRO-3-style parameter sharding over the data axis.
 
-    Each parameter at least ``min_size`` elements large is split along its
-    largest mesh-divisible axis; everything else stays replicated. Gradients
-    and Adam moments inherit the layout through jit, so optimizer-state HBM
-    scales down with the mesh; XLA inserts the all-gathers before use and
-    reduce-scatters on the gradients (the standard FSDP schedule), riding
-    ICI. The reference has no counterpart (single GPU); this exists so the
-    framework scales past per-chip HBM without model surgery.
+    Large parameters are split along a *channel* axis; everything else
+    stays replicated. Gradients and Adam moments inherit the layout
+    through jit, so optimizer-state HBM scales down with the mesh; XLA
+    inserts the all-gathers before use and reduce-scatters on the
+    gradients (the standard FSDP schedule), riding ICI. The reference has
+    no counterpart (single GPU); this exists so the framework scales past
+    per-chip HBM without model surgery.
+
+    Layout policy (round 2 — fixes the round-1 "involuntary full
+    rematerialization" SPMD warnings): only the last two axes are
+    candidates (the I/O channel dims of HWIO conv kernels and the in/out
+    dims of dense kernels — sharding *spatial* kernel dims produces
+    layouts the partitioner cannot service), preferring the trailing
+    (output) axis; a parameter must hold at least ``min_size`` elements
+    AND give every device at least ``min_shard_rows`` rows of the chosen
+    axis. Small conv kernels (e.g. the 3x3x133x128 UNet decoder convs
+    whose transposed/grad ops triggered the warnings) stay replicated —
+    their bytes are noise next to the ResNet trunk and the Adam moments
+    this rule exists to split.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -64,17 +77,12 @@ def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 16):
     def spec(p):
         shape = getattr(p, "shape", ())
         size = int(np.prod(shape)) if shape else 0
-        if size >= min_size:
-            # shard the largest divisible dim (ties -> later dim, which for
-            # HWIO conv kernels is the output-channel axis)
-            best = None
-            for i, d in enumerate(shape):
-                if d % n == 0 and (best is None or d >= shape[best]):
-                    best = i
-            if best is not None:
-                parts = [None] * len(shape)
-                parts[best] = axis
-                return NamedSharding(mesh, P(*parts))
+        if size >= min_size and len(shape) >= 2:
+            for i in (len(shape) - 1, len(shape) - 2):
+                if shape[i] % n == 0 and shape[i] // n >= min_shard_rows:
+                    parts = [None] * len(shape)
+                    parts[i] = axis
+                    return NamedSharding(mesh, P(*parts))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec, params)

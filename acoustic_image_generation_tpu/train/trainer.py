@@ -56,13 +56,19 @@ class Trainer:
         self.base_key = rng_mod.experiment_key(config.run.seed)
 
         lr = config.optim.learning_rate
+        if getattr(config.optim, "tf1_adam", True):
+            from acoustic_image_generation_tpu.train.optim import adam_tf1
+
+            adam = adam_tf1(lr)
+        else:
+            adam = optax.adam(lr)
         if hasattr(task, "param_labels"):
             self.tx = optax.multi_transform(
-                {"train": optax.adam(lr), "frozen": optax.set_to_zero()},
+                {"train": adam, "frozen": optax.set_to_zero()},
                 task.param_labels,
             )
         else:
-            self.tx = optax.adam(lr)
+            self.tx = adam
 
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)

@@ -876,3 +876,235 @@ def test_vggish_matches_tf_checkpoint(tmp_path):
     merged = merge_into(variables["params"], params, strict=True)
     got = model.apply({"params": merged}, x_np)
     np.testing.assert_allclose(np.asarray(got), tf_out, rtol=2e-4, atol=2e-5)
+
+
+# ------------------------------------------------------- training parity
+
+
+def _slim_conv_bn_train(x, cout, ksize, stride, name, relu=True,
+                        fixed_pad=False, padding="SAME", wd=5e-4,
+                        reg=None, updates=None, decay=0.997):
+    """slim conv2d under resnet_arg_scope in TRAIN mode: conv (no bias) ->
+    BN on batch moments with moving-average assign ops (UPDATE_OPS
+    equivalent) [-> relu]; weight decay appended to ``reg`` exactly like
+    the l2_regularizer the arg scope installs (vision.py:54)."""
+    with v1.variable_scope(name):
+        k = v1.get_variable(
+            "weights", [*ksize, int(x.shape[-1]), cout],
+            initializer=v1.glorot_uniform_initializer(),
+        )
+        if reg is not None and wd:
+            reg.append(wd * tf.nn.l2_loss(k))
+        if fixed_pad and stride > 1:
+            kh = ksize[0]
+            pad_beg = (kh - 1) // 2
+            pad_end = kh - 1 - pad_beg
+            x = tf.pad(x, [[0, 0], [pad_beg, pad_end], [pad_beg, pad_end], [0, 0]])
+            y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding="VALID")
+        else:
+            y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding=padding)
+        with v1.variable_scope("BatchNorm"):
+            c = cout
+            gamma = v1.get_variable("gamma", [c], initializer=tf.ones_initializer())
+            beta = v1.get_variable("beta", [c], initializer=tf.zeros_initializer())
+            mmean = v1.get_variable("moving_mean", [c],
+                                    initializer=tf.zeros_initializer(), trainable=False)
+            mvar = v1.get_variable("moving_variance", [c],
+                                   initializer=tf.ones_initializer(), trainable=False)
+            bmean, bvar = tf.nn.moments(y, [0, 1, 2])
+            y = tf.nn.batch_normalization(y, bmean, bvar, beta, gamma, 1e-5)
+            if updates is not None:
+                updates.append(v1.assign(mmean, mmean * decay + bmean * (1 - decay)))
+                updates.append(v1.assign(mvar, mvar * decay + bvar * (1 - decay)))
+        return tf.nn.relu(y) if relu else y
+
+
+def _bottleneck_train(x, depth, depth_bottleneck, stride, name, reg, updates):
+    with v1.variable_scope(name), v1.variable_scope("bottleneck_v1"):
+        depth_in = int(x.shape[-1])
+        if depth == depth_in:
+            shortcut = x if stride == 1 else tf.nn.max_pool2d(x, 1, stride, "VALID")
+        else:
+            shortcut = _slim_conv_bn_train(x, depth, (1, 1), stride, "shortcut",
+                                           relu=False, reg=reg, updates=updates)
+        r = _slim_conv_bn_train(x, depth_bottleneck, (1, 1), 1, "conv1",
+                                reg=reg, updates=updates)
+        r = _slim_conv_bn_train(r, depth_bottleneck, (3, 3), stride, "conv2",
+                                fixed_pad=stride > 1, reg=reg, updates=updates)
+        r = _slim_conv_bn_train(r, depth, (1, 1), 1, "conv3", relu=False,
+                                reg=reg, updates=updates)
+        return tf.nn.relu(shortcut + r)
+
+
+def _build_tf_unet_acres_vae(mfccmap, feat):
+    """UNetAcRes with the VAE heads live (mean + softplus std), z = mean
+    (deterministic latent for trajectory comparison — both sides use the
+    mean path so no RNG needs to be synchronized)."""
+    with v1.variable_scope("UNetAcRes"):
+        conv1, pool1 = _conv_conv_pool(mfccmap, 128, "1", pool=True)
+        conv2_0 = _conv_conv_pool(pool1, 133, "2")
+        conv2 = tf.concat([_minmax(conv2_0), _minmax(feat)], axis=-1)
+        mean = tf.reshape(_conv2d(conv2, 150, (12, 16), "mean", padding="VALID"), (-1, 150))
+        std = tf.nn.softplus(
+            tf.reshape(_conv2d(conv2, 150, (12, 16), "std", padding="VALID"), (-1, 150))
+        )
+        net = tf.nn.relu(_dense(mean, 12 * 16 * 12))
+        net = tf.reshape(net, (-1, 12, 16, 12))
+        net = tf.nn.relu(_conv2d(net, 133, (3, 3), "conv2d"))
+        conv4 = _conv_conv_pool(net, 128, "4")
+        conv5 = _conv_conv_pool(conv4, 128, "5")
+        up1 = _deconv(conv5, 128, 2, 3, "upsample_1")
+        up1 = tf.concat([up1, conv1], axis=-1)
+        conv6 = _conv_conv_pool(up1, 128, "6")
+        conv7 = _conv_conv_pool(conv6, 64, "7")
+        out = tf.sigmoid(_conv2d(conv7, 12, (3, 3), "final"))
+    return out, mean, std
+
+
+@pytest.mark.slow
+def test_flagship_training_trajectory_matches_tf(tmp_path):
+    """Multi-step TRAINING parity (VERDICT round-1 item 3): same init (via
+    a real TF checkpoint), same batches -> the TF1 graph (train-mode BN
+    with UPDATE_OPS, tf.losses MSE+Huber, latent-weighted KL, slim L2
+    weight decay, tf.train.AdamOptimizer over the reference var_list) and
+    this framework's GenerationTask semantics must produce matching loss
+    trajectories and matching trained conv_map weights over 6 steps.
+
+    Reference semantics: /root/reference/trainer/mfcctrainer.py:46-79
+    (losses + Adam + UPDATE_OPS), models/vision.py:68-71 (var_list).
+    Deterministic latent (z = mean) on both sides; reduced-depth trunk
+    (1 unit/block) with identical structure."""
+    import optax
+
+    from acoustic_image_generation_tpu.losses import (
+        huber_tf, kl_diag_gaussian, l2_regularization, mse_tf,
+    )
+    from acoustic_image_generation_tpu.models import ResNet50, UNetAcResNet
+    from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+
+    rng = np.random.default_rng(11)
+    n = 2
+    video_np = rng.random((n, 224, 298, 3)).astype(np.float32)
+    mfcc_np = rng.random((n, 12)).astype(np.float32)
+    acoustic_np = rng.random((n, 36, 48, 12)).astype(np.float32)
+    mfccmap_np = np.broadcast_to(mfcc_np[:, None, None, :], (n, 36, 48, 12)).copy()
+    latent_w = 1e-6
+    lr = 1e-4
+    n_steps = 6
+
+    blocks = [("block1", 64, 1), ("block2", 128, 2), ("block3", 256, 2), ("block4", 512, 1)]
+    ckpt_path = str(tmp_path / "train_parity.ckpt")
+    tf_losses = []
+    with tf.Graph().as_default():
+        tf.random.set_seed(0)
+        video = v1.placeholder(tf.float32, (None, 224, 298, 3))
+        mfccmap = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        target = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        reg, updates = [], []
+        with v1.variable_scope("resnet_v1_50"):
+            net = _slim_conv_bn_train(video, 64, (7, 7), 2, "conv1", fixed_pad=True,
+                                      reg=reg, updates=updates)
+            net = tf.nn.max_pool2d(net, 3, 2, "VALID")
+            for bname, base, stride in blocks:
+                with v1.variable_scope(bname):
+                    net = _bottleneck_train(net, base * 4, base, stride, "unit_1",
+                                            reg, updates)
+            feat = _slim_conv_bn_train(net, 12, (3, 4), 1, "conv_map",
+                                       padding="VALID", reg=reg, updates=updates)
+        out, mean, std = _build_tf_unet_acres_vae(mfccmap, feat)
+
+        mse = v1.losses.mean_squared_error(target, out)
+        hub = v1.losses.huber_loss(target, out)
+        kl = latent_w * tf.reduce_mean(
+            0.5 * tf.reduce_sum(
+                tf.square(mean) + tf.square(std)
+                - tf.math.log(1e-8 + tf.square(std)) - 1.0, 1)
+        )
+        total = mse + hub + kl + tf.add_n(reg)
+
+        # reference var_list (vision.py:70 + mfcctrainer.py:64): generator
+        # + conv_map/logits only
+        tvars = v1.trainable_variables()
+        var_list = [v for v in tvars
+                    if v.name.startswith("UNetAcRes/")
+                    or "/conv_map/" in v.name]
+        opt = v1.train.AdamOptimizer(lr)
+        with tf.control_dependencies(updates):
+            train_op = opt.minimize(total, var_list=var_list)
+
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            v1.train.Saver(v1.global_variables()).save(sess, ckpt_path)
+            feed = {video: video_np, mfccmap: mfccmap_np, target: acoustic_np}
+            for _ in range(n_steps):
+                loss_v, _ = sess.run([total, train_op], feed)
+                tf_losses.append(float(loss_v))
+            tf_conv_map = sess.run(
+                [v for v in tvars if v.name == "resnet_v1_50/conv_map/weights:0"][0]
+            )
+
+    # ---------------------------------------------------------------- JAX
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    r_params, r_stats = import_scope(ckpt, "resnet_v1_50")
+    g_params, _ = import_scope(ckpt, "UNetAcRes")
+
+    resnet = ResNet50(blocks=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 1)),
+                      freeze_trunk=True)
+    generator = UNetAcResNet(skips=1)
+    rv = resnet.init({"params": jax.random.key(0)}, video_np[:1], train=False)
+    gv = generator.init(
+        {"params": jax.random.key(1), "latent": jax.random.key(2)},
+        mfccmap_np[:1], np.zeros((1, 12, 16, 12), np.float32),
+    )
+    params = {
+        "resnet": merge_into(rv["params"], r_params, strict=True),
+        "generator": merge_into(gv["params"], g_params, strict=True),
+    }
+    batch_stats = merge_into(rv["batch_stats"], r_stats, strict=True)
+
+    from acoustic_image_generation_tpu.train.optim import adam_tf1
+
+    tx = optax.multi_transform(
+        {"train": adam_tf1(lr), "frozen": optax.set_to_zero()},
+        GenerationTask.param_labels,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            feat, mut = resnet.apply(
+                {"params": p["resnet"], "batch_stats": batch_stats},
+                video_np, train=True, mutable=["batch_stats"],
+            )
+            out = generator.apply(
+                {"params": p["generator"]}, tile_mfccmap(jnp_mfcc), feat,
+                sample=False,
+            )
+            loss = (
+                mse_tf(acoustic_np, out.output)
+                + huber_tf(acoustic_np, out.output)
+                + latent_w * jnp.mean(kl_diag_gaussian(out.mean, out.std))
+                + l2_regularization(p["resnet"], 5e-4)
+            )
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates_, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates_), new_stats, new_opt, loss
+
+    import jax.numpy as jnp
+
+    jnp_mfcc = jnp.asarray(mfcc_np)
+    jax_losses = []
+    for _ in range(n_steps):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        jax_losses.append(float(loss))
+
+    # loss trajectories must track each other step for step
+    np.testing.assert_allclose(jax_losses, tf_losses, rtol=5e-4, atol=1e-5)
+    # and the actually-trained conv_map weights must land in the same place
+    got_conv_map = np.asarray(params["resnet"]["conv_map"]["conv"]["kernel"])
+    np.testing.assert_allclose(got_conv_map, tf_conv_map, rtol=1e-3, atol=2e-6)
+    assert tf_losses[0] > tf_losses[-1], "training must reduce the loss"

@@ -329,3 +329,27 @@ def test_trunk_bn_frozen_disables_stat_updates(tiny_dataset, tmp_path):
             )
         )
         assert same == (k != "conv_map"), k
+
+
+@pytest.mark.slow
+def test_fsdp_layout_is_partitioner_clean_and_matches_dp():
+    """Round-2 FSDP acceptance (VERDICT item 2): the 8-device dryrun must
+    compile with ZERO SPMD "involuntary full rematerialization" warnings
+    and produce DP==FSDP loss trajectories over 3 steps. Runs in a
+    subprocess to capture XLA's C++ stderr."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=3000,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-3000:]
+    assert "Involuntary full rematerialization" not in out, out[-3000:]
+    assert "ok (== dp)" in out, out[-3000:]
