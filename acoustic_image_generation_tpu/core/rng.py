@@ -38,6 +38,10 @@ def role_key(key: jax.Array, role: str) -> jax.Array:
 
 
 def train_step_rngs(key: jax.Array, step) -> dict[str, jax.Array]:
-    """The rng dict handed to flax ``Module.apply`` for one train step."""
+    """The rng dict handed to flax ``Module.apply`` for one train step
+    (plus "data" for batch-level augmentations like the music
+    correspondence shuffle)."""
     k = step_key(key, step)
-    return {role: role_key(k, role) for role in ("latent", "moddrop", "dropout")}
+    return {
+        role: role_key(k, role) for role in ("latent", "moddrop", "dropout", "data")
+    }

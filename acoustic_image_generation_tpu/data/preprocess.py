@@ -151,18 +151,39 @@ def correspondence_augment_no_video(batch: Batch) -> Batch:
     )
 
 
-def correspondence_shuffle(batch: Batch, key) -> Batch:
+def correspondence_shuffle(
+    batch: Batch, key, *, frames: int = 1, final_shuffle: bool = True
+) -> Batch:
     """Shuffled-pair correspondence of the AVIA/music loader
     (outdoor_data.py:854-902): double the batch; the first half keeps
     aligned (audio, video) pairs (label 1), the second half pairs each
     video with a randomly shuffled element's audio/acoustic — its label is
     1 only when the shuffled partner shares both action and location.
-    The whole doubled batch is then permuted with a second key."""
+    The whole doubled batch is then permuted with a second key
+    (``final_shuffle``; the eval path disables it so the trainer's
+    per-half valid-prefix mask stays correct on padded remainder batches —
+    eval metrics are permutation-invariant, so this changes nothing else).
+
+    ``batch.action``/``location`` carry the AUDIO side's labels for the
+    shuffled half (the reference emits separate video/audio label tensors,
+    ``outdoor_data.py:869-874``; the video-side labels equal the first
+    half's and are recoverable from the pairing when needed).
+
+    ``frames``: rows per clip. The reference shuffles whole batch elements
+    (each a full 12-frame sample); with flattened frame rows the
+    permutations here act on clip blocks so clips stay contiguous for the
+    12-frame DualCamNet / clip_logits consumers."""
     import jax
 
     n = batch.acoustic.shape[0]
+    assert n % frames == 0, (n, frames)
+    c = n // frames
     k1, k2 = jax.random.split(key)
-    perm = jax.random.permutation(k1, n)
+
+    def expand(clip_perm):
+        return (clip_perm[:, None] * frames + jnp.arange(frames)[None, :]).reshape(-1)
+
+    perm = expand(jax.random.permutation(k1, c))
     action2 = batch.action[perm]
     location2 = batch.location[perm]
     labels2 = ((batch.action == action2) & (batch.location == location2)).astype(jnp.int32)
@@ -179,5 +200,7 @@ def correspondence_shuffle(batch: Batch, key) -> Batch:
         filtered_mfcc=jnp.concatenate([batch.filtered_mfcc, batch.filtered_mfcc[perm]]),
         correspondence=onehot,
     )
-    final = jax.random.permutation(k2, 2 * n)
+    if not final_shuffle:
+        return doubled
+    final = expand(jax.random.permutation(k2, 2 * c))
     return Batch(*[x[final] if x is not None else None for x in doubled])

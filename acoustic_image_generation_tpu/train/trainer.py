@@ -100,22 +100,34 @@ class Trainer:
 
     # ---------------------------------------------------------------- batch
 
-    def _prepare(self, raw: dict) -> preprocess.Batch:
+    def _prepare(
+        self, raw: dict, *, key=None, train: bool = True
+    ) -> preprocess.Batch:
         """Flatten (N, F, ...) clips to frames and run device preprocessing
-        (inside jit)."""
+        (inside jit). ``key`` drives the music shuffled-pair correspondence
+        (outdoor_data.py:854-902); the outdoor/mfcc silence-map variants
+        are deterministic and ignore it."""
         f = raw["acoustic"].shape[1]
         flat = lambda x: x.reshape(-1, *x.shape[2:])
+        music = self.cfg.data.datatype == "music"
         batch = preprocess.preprocess_batch(
             flat(raw["acoustic"]),
             flat(raw["audio"]),
             flat(raw["video"]),
             jnp.repeat(raw["action"], f),
             jnp.repeat(raw["location"], f),
-            compute_filtered=self.cfg.data.correspondence,
+            compute_filtered=self.cfg.data.correspondence and not music,
             use_pallas_mfcc=self.cfg.data.pallas_mfcc,
         )
         if self.cfg.data.correspondence:
-            if self.cfg.data.correspondence_video:
+            if music:
+                # AVIA/music shuffled-pair correspondence; eval keeps the
+                # concatenated half order so the per-half valid mask of
+                # _eval_step_impl stays exact on padded remainder batches
+                batch = preprocess.correspondence_shuffle(
+                    batch, key, frames=f, final_shuffle=train
+                )
+            elif self.cfg.data.correspondence_video:
                 batch = preprocess.correspondence_augment_no_video(batch)
             else:
                 batch = preprocess.correspondence_augment(batch)
@@ -139,7 +151,7 @@ class Trainer:
     # ---------------------------------------------------------------- steps
 
     def _init_impl(self, rng, raw):
-        batch = self._prepare(raw)
+        batch = self._prepare(raw, key=rng_mod.role_key(rng, "data"))
         params, batch_stats = self.task.init_variables(rng, batch)
         opt_state = self.tx.init(params)
         return TrainState(
@@ -167,8 +179,8 @@ class Trainer:
         return init(key, raw)
 
     def _train_step_impl(self, state: TrainState, raw: dict):
-        batch = self._prepare(raw)
         rngs = rng_mod.train_step_rngs(self.base_key, state.step)
+        batch = self._prepare(raw, key=rngs["data"])
 
         def loss_fn(params):
             loss, metrics, new_stats = self.task.loss(
@@ -202,8 +214,8 @@ class Trainer:
     def _train_step_cached_impl(self, state: TrainState, raw: dict, trunk_feat):
         """Train step consuming cached trunk features; the video tensor in
         ``raw`` is a dummy (the trunk never runs)."""
-        batch = self._prepare(raw)
         rngs = rng_mod.train_step_rngs(self.base_key, state.step)
+        batch = self._prepare(raw, key=rngs["data"])
 
         def loss_fn(params):
             loss, metrics, new_stats = self.task.loss(
@@ -228,7 +240,7 @@ class Trainer:
         )
 
     def _eval_step_impl(self, state: TrainState, raw: dict, key):
-        batch = self._prepare(raw)
+        batch = self._prepare(raw, key=key, train=False)
         rngs = {"latent": key, "dropout": key, "moddrop": key}
         losses, _ = self.task.eval_losses(state.params, state.batch_stats, batch, rngs)
         n_total = next(iter(losses.values())).shape[0]
