@@ -297,6 +297,38 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_show_video(args) -> int:
+    """Per-frame energy-overlay renders over the whole test split
+    (showvideo.py:201-233 driver): I_000001.png ... ready for ffmpeg."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser as main_parser,
+        config_from_args,
+        make_loader,
+        select_task,
+    )
+    from acoustic_image_generation_tpu.evaluation.show_video import (
+        render_video_overlays,
+    )
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = main_parser().parse_args(_strip(args.train_flags))
+    config = config_from_args(main_args)
+    task = select_task(config)
+    trainer = Trainer(task, config)
+    loader = make_loader(config, "testing")
+    for first in loader.batches(0):
+        break
+    state = jax.device_get(trainer.init_state(first))
+    state = trainer.restore(args.checkpoint, state)
+    paths = render_video_overlays(
+        task, state, loader, args.out_dir, alpha=args.alpha
+    )
+    print(f"wrote {len(paths)} frames to {args.out_dir}")
+    return 0
+
+
 def cmd_generate(args) -> int:
     """Serving path: batch-generate acoustic images from (mfcc, video)
     with a trained generator — the deployment counterpart of ``--mode
@@ -434,6 +466,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--num_images", type=int, default=4)
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_show)
+
+    s = sub.add_parser(
+        "show-video",
+        help="per-frame energy-overlay renders over the test split (showvideo.py)",
+    )
+    s.add_argument("checkpoint")
+    s.add_argument("out_dir")
+    s.add_argument("--alpha", type=float, default=0.7)
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_show_video)
 
     s = sub.add_parser("generate", help="serving: mfcc+video -> generated acoustic images")
     s.add_argument("checkpoint")

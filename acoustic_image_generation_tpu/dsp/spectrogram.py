@@ -26,14 +26,14 @@ def hann_periodic(n: int = FRAME_LENGTH) -> np.ndarray:
 
 
 @functools.cache
-def _dft_bases():
+def _dft_bases(frame_length: int = FRAME_LENGTH, fft_length: int = FFT_LENGTH):
     """Windowed real-DFT bases (GEMM-native; XLA:TPU's FFT is approximate
     while a HIGHEST-precision matmul matches NumPy — and rides the MXU)."""
-    window = hann_periodic()
+    window = hann_periodic(frame_length)
     k = (
-        np.arange(FRAME_LENGTH)[:, None]
-        * np.arange(FFT_LENGTH // 2 + 1)[None, :]
-        * (2.0 * np.pi / FFT_LENGTH)
+        np.arange(frame_length)[:, None]
+        * np.arange(fft_length // 2 + 1)[None, :]
+        * (2.0 * np.pi / fft_length)
     )
     cos_b = np.cos(k) * window[:, None]
     sin_b = -np.sin(k) * window[:, None]
@@ -41,34 +41,49 @@ def _dft_bases():
     return cos_b.astype(np.float32), sin_b.astype(np.float32)
 
 
-def stft_magnitude(wav: jnp.ndarray) -> jnp.ndarray:
-    """|STFT| of (..., num_samples) float audio -> (..., frames, 257).
+def stft_magnitude(
+    wav: jnp.ndarray,
+    *,
+    frame_length: int = FRAME_LENGTH,
+    frame_step: int = FRAME_STEP,
+    fft_length: int = FFT_LENGTH,
+) -> jnp.ndarray:
+    """|STFT| of (..., num_samples) float audio -> (..., frames, fft/2+1).
 
-    For num_samples = 12288 (one second) the output is (..., 99, 257),
-    matching the reference's per-second spectrogram shape
-    (``/root/reference/trainer/trainer_three.py:452``).
+    Defaults are the AVIA/music geometry: num_samples = 12288 (one
+    second) -> (..., 99, 257), matching the reference's per-second
+    spectrogram shape (``/root/reference/trainer/trainer_three.py:452``).
+    The TUT loader passes its own geometry
+    (``data.tut.spectrogram_params``: 440/219/512,
+    ``tut_data.py:19-22``).
     """
     n = wav.shape[-1]
-    num_frames = 1 + (n - FRAME_LENGTH) // FRAME_STEP
+    num_frames = 1 + (n - frame_length) // frame_step
     idx = (
-        np.arange(FRAME_LENGTH)[None, :]
-        + FRAME_STEP * np.arange(num_frames)[:, None]
+        np.arange(frame_length)[None, :]
+        + frame_step * np.arange(num_frames)[:, None]
     )  # (frames, frame_length) static gather indices
     frames = wav[..., idx].astype(jnp.float32)  # (..., frames, frame_length)
-    cos_np, sin_np = _dft_bases()
+    cos_np, sin_np = _dft_bases(frame_length, fft_length)
     hi = jax.lax.Precision.HIGHEST
     re = jnp.matmul(frames, jnp.asarray(cos_np), precision=hi)
     im = jnp.matmul(frames, jnp.asarray(sin_np), precision=hi)
     return jnp.sqrt(re * re + im * im).astype(jnp.float32)
 
 
-def stft_magnitude_numpy_oracle(wav: np.ndarray) -> np.ndarray:
+def stft_magnitude_numpy_oracle(
+    wav: np.ndarray,
+    *,
+    frame_length: int = FRAME_LENGTH,
+    frame_step: int = FRAME_STEP,
+    fft_length: int = FFT_LENGTH,
+) -> np.ndarray:
     """Host oracle mirroring tf.signal.stft step by step."""
     n = wav.shape[-1]
-    num_frames = 1 + (n - FRAME_LENGTH) // FRAME_STEP
-    window = hann_periodic()
-    out = np.empty((*wav.shape[:-1], num_frames, FFT_LENGTH // 2 + 1), np.float32)
+    num_frames = 1 + (n - frame_length) // frame_step
+    window = hann_periodic(frame_length)
+    out = np.empty((*wav.shape[:-1], num_frames, fft_length // 2 + 1), np.float32)
     for f in range(num_frames):
-        seg = wav[..., f * FRAME_STEP : f * FRAME_STEP + FRAME_LENGTH] * window
-        out[..., f, :] = np.abs(np.fft.rfft(seg, FFT_LENGTH, axis=-1))
+        seg = wav[..., f * frame_step : f * frame_step + frame_length] * window
+        out[..., f, :] = np.abs(np.fft.rfft(seg, fft_length, axis=-1))
     return out

@@ -1,7 +1,8 @@
 """Multi-seed aggregation: drop min & max, mean +- std
 (``/root/reference/meanstd.py:7-33``) — the reference's 5-seed reporting
-protocol. Output goes to json instead of xlsx (no pandas/openpyxl
-dependency); the numbers are identical."""
+protocol. Output is json or, matching the reference artifact
+(``meanstd.py:150-163``), a real .xlsx workbook written by the
+dependency-free ``utils.xlsx`` writer."""
 
 from __future__ import annotations
 
@@ -20,13 +21,22 @@ def trimmed_mean_std(values) -> tuple[float, float]:
 
 
 def aggregate_runs(metric_values: dict[str, list[float]], out_path: str | None = None) -> dict:
-    """{metric: [seed values]} -> {metric: {mean, std, n}} (+ optional json
-    artifact mirroring meanstd.py's xlsx)."""
+    """{metric: [seed values]} -> {metric: {mean, std, n}}. ``out_path``
+    ending in .xlsx writes the reference-style workbook
+    (meanstd.py:150-163: one row per metric, mean/std/n columns);
+    anything else writes json."""
     out = {}
     for name, vals in metric_values.items():
         mean, std = trimmed_mean_std(vals)
         out[name] = {"mean": mean, "std": std, "n": len(vals)}
-    if out_path:
+    if out_path and out_path.endswith(".xlsx"):
+        from acoustic_image_generation_tpu.utils.xlsx import write_xlsx
+
+        rows = [["metric", "mean", "std", "n"]] + [
+            [name, v["mean"], v["std"], v["n"]] for name, v in sorted(out.items())
+        ]
+        write_xlsx(out_path, rows, sheet_name="meanstd")
+    elif out_path:
         with open(out_path, "w") as f:
             json.dump(out, f, indent=2, sort_keys=True)
     return out

@@ -11,7 +11,7 @@ from acoustic_image_generation_tpu.models.dualcamnet import DualCamNet
 from acoustic_image_generation_tpu.models.resnet import ResNet50
 from acoustic_image_generation_tpu.models.unet_ac import UNetAcoustic, UNetAcResNet
 from acoustic_image_generation_tpu.models.unet_sound import UNetSound
-from acoustic_image_generation_tpu.models.unet_video import UNetEnergy, UNetVideo
+from acoustic_image_generation_tpu.models.unet_video import UNetEnergy, UNetVideo, UNetVideoSkip
 
 __all__ = [
     "DualCamNet",
@@ -20,5 +20,6 @@ __all__ = [
     "UNetAcResNet",
     "UNetSound",
     "UNetVideo",
+    "UNetVideoSkip",
     "UNetEnergy",
 ]

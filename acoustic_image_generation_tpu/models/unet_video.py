@@ -135,3 +135,67 @@ class UNetEnergy(nn.Module):
         up = ccp((8, 8), "layer8_2")(up, train=train)
         out = nn.relu(layers.conv2d(1, (3, 3), name="final", dtype=dt)(up))
         return VaeOutput(out, z, mean, variance, conv4)
+
+
+class UNetVideoSkip(nn.Module):
+    """Legacy skip-connected video VAE (scope ``UNet``), the last 2.3
+    inventory item: ``/root/reference/models/unet_architecture.py:46-95``.
+    Only ``decodeimages.py:7`` consumes it upstream — kept for capability
+    parity with the channel-plot tooling.
+
+    224x298x3 -> 3-ch sigmoid; encoder 8/32/32/64 with strided-conv pools
+    (rect VALID (2,3) pools at stages 2/4), 128-d latent with a RAW
+    variance head (z = mean + variance*eps, no softplus — ``:63-68``),
+    decoder upconv+skip concat at all four levels (``:74-84``). Weight
+    decay 7e-5 (accounted by the caller like the other video VAEs)."""
+
+    latent_dim: int = 128
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
+        dt = self.dtype
+
+        def ccp(filters, name, pool=False, **kw):
+            return ConvConvPool(filters, pool=pool, batch_norm=True, name=name, dtype=dt, **kw)
+
+        conv1, pool1 = ccp((8, 8), "layer1", pool=True, pool_strides=(2, 2))(x, train=train)
+        conv2, pool2 = ccp(
+            (32, 32), "layer2", pool=True, pool_kernel=(2, 3),
+            pool_strides=(2, 2), pool_padding="VALID",
+        )(pool1, train=train)
+        conv3, pool3 = ccp((32, 32), "layer3", pool=True, pool_strides=(2, 2))(pool2, train=train)
+        conv4, pool4 = ccp(
+            (64, 64), "layer4", pool=True, pool_kernel=(2, 3),
+            pool_strides=(2, 2), pool_padding="VALID",
+        )(pool3, train=train)
+        conv5 = ccp((128, 128), "layer5")(pool4, train=train)
+
+        mean = layers.conv2d(self.latent_dim, (14, 18), padding="VALID", name="mean", dtype=dt)(conv5)
+        mean = mean.reshape(-1, self.latent_dim)
+        variance = layers.conv2d(
+            self.latent_dim, (14, 18), padding="VALID", name="variance", dtype=dt
+        )(conv5)
+        variance = variance.reshape(-1, self.latent_dim)
+        if sample and self.has_rng("latent"):
+            eps = jax.random.normal(self.make_rng("latent"), variance.shape, variance.dtype)
+            z = mean + variance * eps
+        else:
+            z = mean
+
+        net = nn.relu(layers.dense(14 * 18, name="dense", dtype=dt)(z))
+        net = net.reshape(-1, 14, 18, 1)
+        net = nn.relu(layers.conv2d(128, (3, 3), name="conv_dec", dtype=dt)(net))
+
+        up6 = layers.ConvTransposeTF(64, (2, 3), (2, 2), name="upsample_6", dtype=dt)(net)
+        conv6 = ccp((64, 64), "layer6")(jnp.concatenate([up6, conv4], -1), train=train)
+        up7 = layers.ConvTransposeTF(32, (2, 2), (2, 2), name="upsample_7", dtype=dt)(conv6)
+        conv7 = ccp((32, 32), "layer7")(jnp.concatenate([up7, conv3], -1), train=train)
+        up8 = layers.ConvTransposeTF(32, (2, 3), (2, 2), name="upsample_8", dtype=dt)(conv7)
+        conv8 = ccp((32, 32), "layer8")(jnp.concatenate([up8, conv2], -1), train=train)
+        up9 = layers.ConvTransposeTF(8, (2, 2), (2, 2), name="upsample_9", dtype=dt)(conv8)
+        conv9 = ccp((8, 8), "layer9")(jnp.concatenate([up9, conv1], -1), train=train)
+        out = nn.sigmoid(
+            layers.conv2d(3, (1, 1), name="final", dtype=dt)(conv9)
+        )
+        return VaeOutput(out, z, mean, variance, conv5)

@@ -331,6 +331,16 @@ class Trainer:
         os.makedirs(self.run_dir, exist_ok=True)
         cfg.save(os.path.join(self.run_dir, "configuration.txt"))
         metrics_log = ckpt.MetricsWriter(self.run_dir)
+        # Per-epoch media summaries like the reference's tf.summary.image
+        # reconstruction panels (mfcctrainer.py:278-297), enabled by the
+        # same flag (``tensorboard`` names the log dir upstream).
+        media_logger = None
+        if cfg.run.tensorboard:
+            from acoustic_image_generation_tpu.utils.logger import Logger
+
+            media_logger = Logger(
+                os.path.join(cfg.run.tensorboard, cfg.run.exp_name)
+            )
         tracker = ckpt.BestTracker(
             self.run_dir, cfg.run.exp_name, mode=getattr(self.task, "eval_mode", "min")
         )
@@ -388,11 +398,53 @@ class Trainer:
                 f"Validation_{self.task.eval_metric}_Loss: {val_loss:6f}\t"
                 f"({clips_per_sec:.1f} clips/s)"
             )
+            if media_logger is not None:
+                media_logger.log_scalars(
+                    {f"valid/{k}": v for k, v in val.items()}, epoch
+                )
+                self._log_media(media_logger, state, valid_loader, epoch)
             if epoch % 10 == 0:
                 ckpt.save_checkpoint(self.run_dir, epoch, state)
             if tracker.update(epoch, val_loss):
                 ckpt.save_checkpoint(self.run_dir, epoch, state)
         return state
+
+    def _log_media(self, logger, state, valid_loader, epoch: int) -> None:
+        """Reconstruction image panels for generation-style tasks
+        (mfcctrainer.py:278-297: input acoustic vs generated output): the
+        first validation example's mean-channel maps + its video frame."""
+        if not hasattr(self.task, "eval_losses"):
+            return
+        for raw_batch in valid_loader.batches(epoch):
+            break
+        else:
+            return
+        raw = self.device_batch(raw_batch)
+        key = rng_mod.role_key(self.base_key, "latent")
+
+        if not hasattr(self, "_media_fn"):
+
+            def media(state, raw, key):
+                batch = self._prepare(raw, key=key, train=False)
+                _, aux = self.task.eval_losses(
+                    state.params, state.batch_stats, batch,
+                    {"latent": key, "dropout": key, "moddrop": key},
+                )
+                return batch, aux
+
+            self._media_fn = jax.jit(media)
+
+        batch, aux = jax.device_get(self._media_fn(state, raw, key))
+        aux = np.asarray(aux)
+        if aux.ndim != 4:  # classification logits etc. — nothing to render
+            return
+        logger.log_image("valid/generated", aux[0].mean(-1), epoch, cmap="jet")
+        real = np.asarray(batch.acoustic)
+        if real.shape[1:3] == aux.shape[1:3]:
+            logger.log_image("valid/real", real[0].mean(-1), epoch, cmap="jet")
+        video = np.asarray(batch.video)
+        if video.ndim == 4 and video.shape[-1] == 3 and video.shape[1] > 1:
+            logger.log_image("valid/video", video[0], epoch)
 
     def test(self, state: TrainState, test_loader, epoch: int | None = None) -> dict:
         """Evaluate + write ``test_accuracy{_epoch}.txt`` like

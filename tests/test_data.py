@@ -1,6 +1,8 @@
 """Tests for the TF-free TFRecord/SequenceExample ingest and host pipeline."""
 
 import io
+import os
+
 import numpy as np
 import pytest
 
@@ -296,3 +298,130 @@ def test_audio_only_loading(tmp_path):
     assert np.any(batch.audio != 0)
     assert not np.any(batch.acoustic)  # skipped modality stays zero
     assert not np.any(batch.video)
+
+
+def test_tut_loader_crops_and_batches(tmp_path):
+    """TUT/DCASE loader (tut_data.py): plain tf.Example shards with raw
+    int64 label + float32 10 s waveform; training = random crops,
+    inference = equispaced crops; optional global z-norm stats."""
+    import numpy as np
+
+    from acoustic_image_generation_tpu.data import tfrecord
+    from acoustic_image_generation_tpu.data.tut import (
+        SAMPLE_RATE, TUTDataLoader, decode_tut_record, encode_tut_record,
+    )
+
+    rng = np.random.default_rng(0)
+    shard_dir = tmp_path / "tut"
+    shard_dir.mkdir()
+    for i in range(3):
+        wav = rng.normal(size=10 * SAMPLE_RATE).astype(np.float32)
+        tfrecord.write_records(
+            str(shard_dir / f"rec{i}.tfrecords"), [encode_tut_record(wav, i % 2)],
+            compression=None,
+        )
+    # codec round-trip
+    wav2, label2 = decode_tut_record(encode_tut_record(wav, 7))
+    assert label2 == 7 and np.array_equal(wav2, wav)
+
+    train = TUTDataLoader(str(shard_dir), "training", 4, sample_length=2,
+                          number_of_crops=5)
+    assert train.num_samples == 3 * 5
+    batches = list(train.batches(0))
+    assert len(batches) == train.total_batches == 15 // 4
+    audio, labels = batches[0]
+    assert audio.shape == (4, 2 * SAMPLE_RATE) and labels.shape == (4,)
+
+    infer = TUTDataLoader(str(shard_dir), "inference", 5, sample_length=2)
+    assert infer.num_samples == 3 * 5  # 10s / 2s equispaced crops
+    a, l = next(iter(infer.batches(0)))
+    # first record's first crop is its waveform prefix (no shuffle)
+    first_wav, first_label = decode_tut_record(train.records[0])
+    assert np.array_equal(a[0], first_wav[: 2 * SAMPLE_RATE])
+
+    # z-norm stats path (tut_data.py:46-48)
+    stats = tmp_path / "stats"
+    stats.mkdir()
+    np.save(stats / "global_mean.npy", np.float32(0.5))
+    np.save(stats / "global_std_dev.npy", np.float32(2.0))
+    norm = TUTDataLoader(str(shard_dir), "inference", 5, sample_length=2,
+                         normalize=True, stats_dir=str(stats))
+    an, _ = next(iter(norm.batches(0)))
+    np.testing.assert_allclose(an, (a - 0.5) / 2.0, rtol=1e-6)
+
+
+def test_tut_spectrogram_geometry():
+    """stft_magnitude with the TUT frame geometry (440/219/512) matches
+    the NumPy oracle and tf.signal's frame-count rule."""
+    import numpy as np
+
+    from acoustic_image_generation_tpu.data.tut import spectrogram_params
+    from acoustic_image_generation_tpu.dsp.spectrogram import (
+        stft_magnitude, stft_magnitude_numpy_oracle,
+    )
+
+    wav = np.random.default_rng(1).normal(size=(2, 44100)).astype(np.float32)
+    params = spectrogram_params()
+    got = np.asarray(stft_magnitude(wav, **params))
+    want = stft_magnitude_numpy_oracle(wav, **params)
+    assert got.shape == want.shape == (2, 1 + (44100 - 440) // 219, 257)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_listing_framecount_and_csv_tools(tmp_path):
+    """framecount.py / readcsv.py / readave.py list tooling."""
+    import numpy as np
+
+    from acoustic_image_generation_tpu.data.listing import (
+        ave_capture_layout, framecount, vggsound_video_list,
+    )
+
+    # framecount over a tfrecord layout
+    for c in (0, 1):
+        for d in (1, 2):
+            cap = tmp_path / "raw" / f"class_{c}" / f"data_{d:03d}"
+            cap.mkdir(parents=True)
+            for s in range(3):
+                (cap / f"Data_{s:03d}.tfrecord").write_bytes(b"x")
+    secs = framecount(str(tmp_path / "raw"), str(tmp_path / "lists"))
+    assert all(v == 3 for v in secs.values()) and len(secs) == 4
+    vt = (tmp_path / "raw" / "class_0" / "data_001" / "video_time.txt").read_text()
+    assert vt == "video seconds: 3"
+    ct = (tmp_path / "raw" / "class_0" / "class_time.txt").read_text()
+    assert ct == "class seconds: 6"
+    listed = (
+        tmp_path / "lists" / "class_0" / "data_001" / "testing_file.txt"
+    ).read_text().strip().splitlines()
+    assert len(listed) == 3 and listed == sorted(listed)
+
+    # VGGSound csv -> videolista.txt
+    csv_path = tmp_path / "vgg.csv"
+    csv_path.write_text(
+        "url,class,set,seconds\n"
+        "abc,waterfall sounds,test,10\n"
+        "def,waterfall sounds,train,10\n"
+        "ghi,people clapping,test,10\n"
+        "jkl,motorboat,test,12\n"
+    )
+    lines = vggsound_video_list(str(csv_path), str(tmp_path / "videolista.txt"))
+    assert lines == [
+        "waterfall sounds",
+        "https://www.youtube.com/watch?v=abc",
+        "motorboat",
+        "https://www.youtube.com/watch?v=jkl",
+    ]
+
+    # AVE csv -> capture layout with seconds.txt event windows
+    ave_csv = tmp_path / "ave.csv"
+    ave_csv.write_text(
+        "Category&VideoID&Quality&StartTime&EndTime\n"
+        "Church bell&v1&good&2&8\n"
+        "Church bell&v2&good&0&10\n"
+        "Barking&v3&good&1&5\n"
+    )
+    caps = ave_capture_layout(str(ave_csv), str(tmp_path / "ave_out"))
+    assert len(caps) == 3
+    cap0 = os.path.join(str(tmp_path / "ave_out"), "class_0", "data_000")
+    assert caps[cap0][0] == "v1"
+    assert open(os.path.join(cap0, "seconds.txt")).read() == "2:8\n"
+    assert os.path.isdir(os.path.join(cap0, "video"))

@@ -165,3 +165,28 @@ def test_tools_generate_serving_cli(tmp_path):
     assert labels.shape == (n,)
     assert np.isfinite(gen).all() and np.isfinite(energy).all()
     assert gen.min() >= 0.0 and gen.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_show_video_folder_renderer(tmp_path):
+    """showvideo.py:201-233 driver: loader -> generation -> find_logen ->
+    per-frame I_{:06d}.png overlays."""
+    from acoustic_image_generation_tpu.evaluation.show_video import (
+        render_video_overlays,
+    )
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    cfg = make_cfg(tmp_path)
+    loader = AcousticImageDataLoader(lists["testing"], "testing", 8, drop_remainder=False)
+    task = GenerationTask(cfg)
+    trainer = Trainer(task, cfg)
+    for first in loader.batches(0):
+        break
+    state = jax.device_get(trainer.init_state(first))
+    paths = render_video_overlays(task, state, loader, str(tmp_path / "frames"))
+    # every real frame rendered, numbered from I_000001
+    assert len(paths) == loader.num_windows * 12
+    assert os.path.basename(paths[0]) == "I_000001.png"
+    assert all(os.path.exists(p) for p in paths)

@@ -1108,3 +1108,61 @@ def test_flagship_training_trajectory_matches_tf(tmp_path):
     got_conv_map = np.asarray(params["resnet"]["conv_map"]["conv"]["kernel"])
     np.testing.assert_allclose(got_conv_map, tf_conv_map, rtol=1e-3, atol=2e-6)
     assert tf_losses[0] > tf_losses[-1], "training must reduce the loss"
+
+
+@pytest.mark.slow
+def test_unet_video_skip_matches_tf_checkpoint(tmp_path):
+    """Legacy skip-connected video VAE (unet_architecture.py:46-95, the
+    decodeimages.py model): TF eval-mode forward vs UNetVideoSkip from the
+    same checkpoint. z = mean (deterministic); raw-variance head present."""
+    rng = np.random.default_rng(21)
+    x_np = rng.random((1, 224, 298, 3)).astype(np.float32)
+
+    ckpt_path = str(tmp_path / "unetskip.ckpt")
+    with tf.Graph().as_default():
+        x = v1.placeholder(tf.float32, (None, 224, 298, 3))
+        with v1.variable_scope("UNet"):
+            conv1, pool1 = _ccp_bn_opts(x, 8, "1", pool=True, pool_k=(3, 3))
+            conv2, pool2 = _ccp_bn_opts(pool1, 32, "2", pool=True,
+                                        pool_k=(2, 3), pool_pad="VALID")
+            conv3, pool3 = _ccp_bn_opts(pool2, 32, "3", pool=True, pool_k=(3, 3))
+            conv4, pool4 = _ccp_bn_opts(pool3, 64, "4", pool=True,
+                                        pool_k=(2, 3), pool_pad="VALID")
+            conv5 = _ccp_bn_opts(pool4, 128, "5")
+            mean = tf.reshape(
+                _conv2d(conv5, 128, (14, 18), "mean", padding="VALID"), (-1, 128))
+            _ = _conv2d(conv5, 128, (14, 18), "variance", padding="VALID")
+            net = tf.nn.relu(_dense(mean, 14 * 18))
+            net = tf.reshape(net, (-1, 14, 18, 1))
+            net = tf.nn.relu(_conv2d(net, 128, (3, 3), "conv2d"))
+            up6 = _deconv_rect2(net, 64, 2, 3, 2, 2, "upsample_6")
+            conv6 = _ccp_bn_opts(tf.concat([up6, conv4], -1), 64, "6")
+            up7 = _deconv_rect2(conv6, 32, 2, 2, 2, 2, "upsample_7")
+            conv7 = _ccp_bn_opts(tf.concat([up7, conv3], -1), 32, "7")
+            up8 = _deconv_rect2(conv7, 32, 2, 3, 2, 2, "upsample_8")
+            conv8 = _ccp_bn_opts(tf.concat([up8, conv2], -1), 32, "8")
+            up9 = _deconv_rect2(conv8, 8, 2, 2, 2, 2, "upsample_9")
+            conv9 = _ccp_bn_opts(tf.concat([up9, conv1], -1), 8, "9")
+            out = tf.sigmoid(_conv2d(conv9, 3, (1, 1), "final"))
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            tf_out = sess.run(out, {x: x_np})
+            v1.train.Saver().save(sess, ckpt_path)
+
+    from acoustic_image_generation_tpu.models import UNetVideoSkip
+
+    ckpt = load_tf1_checkpoint(ckpt_path)
+    params, stats = import_scope(ckpt, "UNet")
+    model = UNetVideoSkip()
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)},
+        x_np, train=False,
+    )
+    merged_p = merge_into(variables["params"], params, strict=True)
+    merged_s = merge_into(variables["batch_stats"], stats, strict=True)
+    got = model.apply(
+        {"params": merged_p, "batch_stats": merged_s}, x_np,
+        train=False, sample=False,
+    )
+    assert got.output.shape == tf_out.shape == (1, 224, 298, 3)
+    np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)

@@ -353,3 +353,29 @@ def test_fsdp_layout_is_partitioner_clean_and_matches_dp():
     assert proc.returncode == 0, out[-3000:]
     assert "Involuntary full rematerialization" not in out, out[-3000:]
     assert "ok (== dp)" in out, out[-3000:]
+
+
+@pytest.mark.slow
+def test_fit_logs_media_when_tensorboard_set(tiny_dataset, tmp_path):
+    """Per-epoch reconstruction media (mfcctrainer.py:278-297 capability):
+    with run.tensorboard set, fit() writes image panels + scalar records
+    through utils.Logger."""
+    import dataclasses
+    import glob as globmod
+
+    cfg = make_config(
+        tmp_path, embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1)
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, tensorboard=str(tmp_path / "tb")),
+        optim=dataclasses.replace(cfg.optim, num_epochs=1),
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    trainer.fit(loader, loader)
+    log_dir = os.path.join(str(tmp_path / "tb"), cfg.run.exp_name)
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    media = globmod.glob(os.path.join(log_dir, "media", "*.png"))
+    names = {os.path.basename(p).rsplit("_", 1)[0] for p in media}
+    assert {"valid_generated", "valid_real", "valid_video"} <= names

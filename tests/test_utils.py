@@ -158,3 +158,38 @@ def test_sweep_parses_test_accuracy_lines():
     assert got == {
         "huber": 0.0012, "loss": 0.0045, "mse": 0.0033, "mse0": 0.0031,
     }
+
+
+def test_xlsx_writer_roundtrip(tmp_path):
+    """utils.xlsx: dependency-free workbook writer (meanstd.py's artifact
+    format) round-trips text and numeric cells."""
+    from acoustic_image_generation_tpu.utils.xlsx import read_xlsx_rows, write_xlsx
+
+    rows = [["metric", "mean", "std", "n"],
+            ["accuracy", 0.912, 0.013, 5],
+            ["iou@0.5", 0.5, 0.0, 3]]
+    path = write_xlsx(str(tmp_path / "agg.xlsx"), rows)
+    got = read_xlsx_rows(path)
+    assert got[0] == rows[0]
+    assert got[1][0] == "accuracy" and abs(got[1][1] - 0.912) < 1e-12
+    assert got[2][3] == 3
+    # it is a real zip-of-xml workbook
+    import zipfile
+
+    assert zipfile.is_zipfile(path)
+    with zipfile.ZipFile(path) as z:
+        assert "xl/workbook.xml" in z.namelist()
+
+
+def test_aggregate_runs_xlsx_artifact(tmp_path):
+    """aggregate_runs writes the reference-style xlsx when asked
+    (meanstd.py:150-163)."""
+    from acoustic_image_generation_tpu.evaluation.aggregate import aggregate_runs
+    from acoustic_image_generation_tpu.utils.xlsx import read_xlsx_rows
+
+    out = str(tmp_path / "meanstd.xlsx")
+    res = aggregate_runs({"acc": [1.0, 2.0, 3.0, 4.0, 5.0]}, out)
+    assert res["acc"]["mean"] == 3.0  # trimmed: drop 1 and 5
+    rows = read_xlsx_rows(out)
+    assert rows[0] == ["metric", "mean", "std", "n"]
+    assert rows[1][0] == "acc" and rows[1][1] == 3.0 and rows[1][3] == 5
