@@ -73,6 +73,8 @@ class AcousticImageDataLoader:
         use_native: bool | None = None,
         include_boxes: bool = False,
         include_extras: tuple[str, ...] = (),
+        cache_windows: bool = False,
+        cache_bytes: int = 8 << 30,
     ) -> None:
         assert txt_file is not None
         self.mode = mode
@@ -104,6 +106,20 @@ class AcousticImageDataLoader:
         self.num_samples = self.plan.num_samples
         self.frames_per_window = 12 * sample_length
 
+        # Epoch-level decoded-window cache: the reference's tf.data graph
+        # re-reads and re-inflates every GZIP shard every epoch; when the
+        # decoded windows fit the byte budget, epochs 2+ skip file IO and
+        # decode entirely (the big win is the per-frame video bytes).
+        # Bounded: once full, the remaining windows keep decoding per
+        # epoch. Thread-safe for the producer pool (dict ops under the
+        # GIL; a lock guards the byte counter).
+        self._window_cache: dict[int, DecodedRecord] | None = (
+            {} if cache_windows else None
+        )
+        self._cache_bytes_budget = cache_bytes
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+
     @property
     def total_batches(self) -> int:
         return self.plan.total_batches(self.batch_size)
@@ -113,6 +129,25 @@ class AcousticImageDataLoader:
         return len(self.plan.windows)
 
     # ------------------------------------------------------------- decoding
+
+    def _decode_window_by_index(self, idx: int) -> DecodedRecord:
+        cache = self._window_cache
+        if cache is not None:
+            hit = cache.get(idx)
+            if hit is not None:
+                return hit
+        rec = self._decode_window(self.plan.windows[idx])
+        if cache is not None:
+            nbytes = sum(
+                a.nbytes
+                for a in (rec.acoustic, rec.audio, rec.video)
+                if a is not None
+            )
+            with self._cache_lock:
+                if self._cache_bytes + nbytes <= self._cache_bytes_budget:
+                    cache[idx] = rec
+                    self._cache_bytes += nbytes
+        return rec
 
     def _decode_window(self, files: list[str]) -> DecodedRecord:
         if self._use_native:
@@ -246,10 +281,7 @@ class AcousticImageDataLoader:
                         if stop.is_set():
                             return
                         decoded = list(
-                            pool.map(
-                                lambda i: self._decode_window(self.plan.windows[i]),
-                                idxs,
-                            )
+                            pool.map(self._decode_window_by_index, idxs)
                         )
                         valid = len(decoded)
                         ids = np.asarray(idxs, np.int64)

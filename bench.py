@@ -81,6 +81,8 @@ def main() -> None:
 
     if mode == "pipeline":
         return _pipeline_bench(clips)
+    if mode == "ingest":
+        return _ingest_bench(clips)
 
     frames = 12 * clips
     rng = np.random.default_rng(0)
@@ -249,6 +251,62 @@ def _scan_bench(step_body, params, batch_stats, opt_state,
     _emit("generation_train_clips_per_sec_chip", n_outer * scan_k * clips / dt)
 
 
+def _ingest_bench(clips: int) -> None:
+    """Input-pipeline throughput in isolation: C++ shard ingest (cpp/
+    ingest.cc) -> threaded loader -> host RawBatches -> device_put, no
+    train step. Epoch 0 measures cold decode; epoch 1 measures the
+    epoch-level decoded-window cache (pipeline.cache_windows) that
+    epochs 2+ of a real run ride. The emitted number is the cold rate —
+    the honest 'can the pipeline feed the chip' figure; the cache rate
+    prints to stderr for docs/PERF.md. On this 1-core dev host the cold
+    rate is CPU-bound (~150 clips/s measured in round 1); a v5e host has
+    ~100 cores and the C++ decode releases the GIL, so it scales per
+    thread."""
+    import sys
+
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+
+    flat_list = _ensure_bench_dataset()
+    loader = AcousticImageDataLoader(
+        flat_list, "training", clips, use_native=True, cache_windows=True
+    )
+    rates = []
+    for epoch in range(2):
+        t0 = time.perf_counter()
+        n = 0
+        for raw in loader.batches(epoch):
+            jax.block_until_ready(jax.device_put(raw.acoustic))
+            n += raw.valid
+        rates.append(n / (time.perf_counter() - t0))
+    print(
+        f"ingest cold {rates[0]:.1f} clips/s; cached epoch {rates[1]:.1f} clips/s",
+        file=sys.stderr,
+    )
+    _emit("ingest_clips_per_sec", rates[0])
+
+
+def _ensure_bench_dataset() -> str:
+    """Synthetic reshard dataset shared by the pipeline/ingest benches,
+    cached under /tmp across runs."""
+    import shutil
+
+    from acoustic_image_generation_tpu.data.convert import reshard
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    tmp = "/tmp/aig_bench_data_v1"
+    flat_list = os.path.join(tmp, "flat", "training.txt")
+    if not os.path.exists(flat_list):
+        os.makedirs(tmp, exist_ok=True)
+        lists = write_synthetic_dataset(
+            os.path.join(tmp, "gz"), num_classes=2, videos_per_class=4,
+            seconds_per_video=16,
+        )
+        got = reshard(lists["training"], os.path.join(tmp, "flat"))
+        assert got == flat_list, got
+        shutil.rmtree(os.path.join(tmp, "gz"), ignore_errors=True)
+    return flat_list
+
+
 def _pipeline_bench(clips: int) -> None:
     """Sustained end-to-end throughput: C++ shard ingest -> threaded loader
     -> device transfer -> full jitted train step, on real (synthetic,
@@ -265,30 +323,17 @@ def _pipeline_bench(clips: int) -> None:
     With the feature cache on (the default), epochs 2+ skip the video
     transfer entirely. The dataset is cached under /tmp across runs (the
     first run pays ~3 min of synthetic-shard writing)."""
-    import shutil
-
     from acoustic_image_generation_tpu.core.config import (
         DataConfig, ExperimentConfig, ModelConfig, OptimConfig, ParallelConfig,
         RunConfig,
     )
-    from acoustic_image_generation_tpu.data.convert import reshard
     from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
-    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
     from acoustic_image_generation_tpu.train.generation import GenerationTask
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
     use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
     tmp = "/tmp/aig_bench_data_v1"
-    flat_list = os.path.join(tmp, "flat", "training.txt")
-    if not os.path.exists(flat_list):
-        os.makedirs(tmp, exist_ok=True)
-        lists = write_synthetic_dataset(
-            os.path.join(tmp, "gz"), num_classes=2, videos_per_class=4,
-            seconds_per_video=16,
-        )
-        got = reshard(lists["training"], os.path.join(tmp, "flat"))
-        assert got == flat_list, got
-        shutil.rmtree(os.path.join(tmp, "gz"), ignore_errors=True)
+    flat_list = _ensure_bench_dataset()
     cfg = ExperimentConfig(
         data=DataConfig(batch_size=clips, sample_length=1),
         model=ModelConfig(

@@ -10,9 +10,21 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU collectives have a 40 s rendezvous TERMINATION timeout: if one
+# virtual device's thread takes longer than that to reach an
+# all-reduce/all-gather, the process is killed ("Exiting to ensure a
+# consistent program state") — which is exactly what happens for the
+# biggest multi-model graphs on a single-core CI host emulating 8
+# devices (round-1's 'Fatal Python error' at test_joint_task). Raise the
+# warn/terminate timeouts so slow-but-progressing threads survive.
+if "collective_call_terminate_timeout" not in flags:
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

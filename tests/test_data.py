@@ -425,3 +425,52 @@ def test_listing_framecount_and_csv_tools(tmp_path):
     assert caps[cap0][0] == "v1"
     assert open(os.path.join(cap0, "seconds.txt")).read() == "2:8\n"
     assert os.path.isdir(os.path.join(cap0, "video"))
+
+
+def test_loader_window_cache_serves_epoch_two(tmp_path):
+    """Epoch-level decoded-window cache (pipeline.cache_windows): epoch 0
+    decodes from disk, epoch 1 serves identical batches from memory even
+    if the shard files disappear."""
+    import shutil
+
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=1, videos_per_class=2, seconds_per_video=2
+    )
+    loader = AcousticImageDataLoader(
+        lists["training"], "training", 4, shuffle=False, cache_windows=True
+    )
+    first = [b.acoustic.copy() for b in loader.batches(0)]
+    assert len(loader._window_cache) == loader.num_windows
+    # delete the shards: epoch 1 must still decode (cache hit)
+    shutil.rmtree(str(tmp_path / "ds"))
+    second = [b.acoustic for b in loader.batches(1)]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_window_cache_respects_budget(tmp_path):
+    """Cache stops at the byte budget and falls back to decoding."""
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=1, videos_per_class=2, seconds_per_video=2
+    )
+    probe = AcousticImageDataLoader(
+        lists["training"], "training", 4, shuffle=False, cache_windows=True
+    )
+    list(probe.batches(0))
+    one_window = probe._cache_bytes // len(probe._window_cache)
+
+    loader = AcousticImageDataLoader(
+        lists["training"], "training", 4, shuffle=False, cache_windows=True,
+        cache_bytes=one_window * 2 + 1,
+    )
+    list(loader.batches(0))
+    assert len(loader._window_cache) == 2  # budget caps at 2 windows
+    # epoch 1 still works (mixed cache-hit + re-decode)
+    batches = list(loader.batches(1))
+    assert sum(b.valid for b in batches) == loader.num_windows

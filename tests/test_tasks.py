@@ -1,353 +1,51 @@
-"""Task-level smoke tests: init + one sharded train step per recipe on the
-8-device CPU mesh. Heavier flows (full fit/eval loops) are covered for the
-cheap tasks in test_trainer.py; these verify wiring, masking, and finite
-losses for every remaining recipe of SURVEY.md §2.4."""
+"""Task-recipe tests, isolated into subprocesses.
+
+The actual tests live in ``tests/suites/tasks_suite.py`` (not collected
+directly). Round 1's ``pytest tests`` aborts at test_joint_task were the
+XLA CPU collective rendezvous TERMINATION timeout (40 s): one starved
+virtual-device thread late to an all-reduce kills the whole process.
+conftest.py now raises ``--xla_cpu_collective_call_terminate_timeout_
+seconds`` (the root fix); these subprocess groups remain as defense in
+depth — each group runs in a fresh interpreter, so one bad graph can
+never take down the rest of the suite, and per-process XLA state stays
+bounded.
+"""
+
+from __future__ import annotations
 
 import os
+import subprocess
+import sys
 
-import jax
-import numpy as np
 import pytest
 
-# The full variant matrix compiles the 224x298 video UNet many times, which
-# takes ~3-4 min each on a single-core CPU host. Default CI runs one variant
-# per branch; AIG_FULL_TESTS=1 runs everything.
-FULL = os.environ.get("AIG_FULL_TESTS") == "1"
-full_only = pytest.mark.skipif(not FULL, reason="set AIG_FULL_TESTS=1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUITE = os.path.join(REPO, "tests", "suites", "tasks_suite.py")
 
-from acoustic_image_generation_tpu.core.config import (
-    DataConfig,
-    ExperimentConfig,
-    ModelConfig,
-    OptimConfig,
-    ParallelConfig,
-    RunConfig,
-)
-from acoustic_image_generation_tpu.data.pipeline import RawBatch
-from acoustic_image_generation_tpu.train.classify import (
-    ClassificationTask,
-    GeneratedClassificationTask,
-)
-from acoustic_image_generation_tpu.train.embed import EmbedTask
-from acoustic_image_generation_tpu.train.joint import JointTask
-from acoustic_image_generation_tpu.train.project import ProjectTask
-from acoustic_image_generation_tpu.train.trainer import Trainer
-
-
-def make_raw(n_clips=8, frames=12, seed=0) -> RawBatch:
-    rng = np.random.default_rng(seed)
-    return RawBatch(
-        acoustic=rng.random((n_clips, frames, 36, 48, 12), dtype=np.float32),
-        audio=rng.integers(-3000, 3000, (n_clips, frames, 1024)).astype(np.int32),
-        video=rng.integers(0, 255, (n_clips, frames, 224, 298, 3)).astype(np.uint8),
-        action=rng.integers(0, 2, (n_clips,)).astype(np.int32),
-        location=rng.integers(1, 3, (n_clips,)).astype(np.int32),
-        valid=n_clips,
-    )
-
-
-def make_config(tmp_path, **model_kw) -> ExperimentConfig:
-    return ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1),
-        model=ModelConfig(**model_kw),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="task_smoke", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32"),
-    )
-
-
-def _one_step(task, cfg):
-    trainer = Trainer(task, cfg)
-    raw = make_raw()
-    state = trainer.init_state(raw)
-    # snapshot before the step: train_step donates (and deletes) the state
-    p0 = jax.device_get(state.params)
-    new_state, metrics = trainer.train_step(state, raw)
-    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-    assert all(np.isfinite(v) for v in m.values()), m
-    return p0, new_state, m, trainer, raw
+GROUPS = {
+    "classification": "test_classification_task or test_classification_mfccmap_variant",
+    "generated_classification": "test_generated_classification_freezes_generator",
+    "embed": "test_embed_task_variants",
+    "project": "test_project_task",
+    "joint": "test_joint_task",
+    "correspondence": (
+        "test_correspondence_task or test_correspondence_eval_mask_padded_remainder"
+    ),
+    "music": "test_embed_task_music_13_channels or test_music_correspondence_end_to_end",
+}
 
 
 @pytest.mark.slow
-def test_classification_task(tmp_path):
-    cfg = make_config(tmp_path, model="DualCamNet", mfcc=True)
-    p0, new_state, m, trainer, raw = _one_step(ClassificationTask(cfg), cfg)
-    assert 0.0 <= m["accuracy"] <= 1.0
-    sums, n = trainer._eval_step(new_state, trainer.device_batch(raw), jax.random.key(0))
-    assert float(n) == 8  # per-clip eval
-
-
-@pytest.mark.slow
-def test_classification_mfccmap_variant(tmp_path):
-    cfg = make_config(tmp_path, model="DualCamNet", mfcc=True, mfccmap=True)
-    _one_step(ClassificationTask(cfg), cfg)
-
-
-@pytest.mark.slow
-def test_generated_classification_freezes_generator(tmp_path):
-    cfg = make_config(
-        tmp_path, model="DualCamNet", mfcc=False, resnet_units=(1, 1, 1, 1)
+@pytest.mark.parametrize("group", sorted(GROUPS))
+def test_task_group(group):
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", SUITE, "-q", "-p", "no:cacheprovider",
+         "-k", GROUPS[group]],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
     )
-    task = GeneratedClassificationTask(cfg)
-    p0, new_state, m, _, _ = _one_step(task, cfg)
-    p1 = jax.device_get(new_state.params)
-    # generator + resnet frozen bit-exact; classifier moved
-    gen_same = jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["generator"], p1["generator"])
-    )
-    res_same = jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["resnet"], p1["resnet"])
-    )
-    cls_changed = not jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["dualcamnet"], p1["dualcamnet"])
-    )
-    assert gen_same and res_same and cls_changed
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize(
-    "variant",
-    [
-        "triplet",
-        "l2",
-        pytest.param("fusion", marks=full_only),
-        pytest.param("moddrop", marks=full_only),
-        pytest.param("proxy", marks=full_only),
-    ],
-)
-def test_embed_task_variants(tmp_path, variant):
-    kw = dict(embedding=True, num_class=150)
-    if variant != "triplet":
-        kw[{"fusion": "fusion", "moddrop": "moddrop", "l2": "l2", "proxy": "proxy"}[variant]] = True
-    cfg = make_config(tmp_path, **kw)
-    _, _, m, _, _ = _one_step(EmbedTask(cfg), cfg)
-    if variant in ("triplet", "fusion", "moddrop"):
-        assert "triplet" in m
-    if variant == "l2":
-        assert "l2_latent" in m
-    if variant == "proxy":
-        assert "nca" in m
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize(
-    "mode", ["video", pytest.param("fusion", marks=full_only)]
-)
-def test_project_task(tmp_path, mode):
-    kw = dict(embedding=True, project=True, encoder_type="Video")
-    if mode == "fusion":
-        kw["fusion"] = True
-    cfg = make_config(tmp_path, **kw)
-    task = ProjectTask(cfg)
-    p0, new_state, m, trainer, raw = _one_step(task, cfg)
-    # frozen VAEs unchanged, associator trained
-    p1 = jax.device_get(new_state.params)
-    assert jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["acoustic"], p1["acoustic"])
-    )
-    assert not jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["assoc_video"], p1["assoc_video"])
-    )
-    # latent export (extract_fusion.py capability): acoustic + translated
-    z = jax.jit(
-        lambda s, r: task.embeddings(
-            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
-        )
-    )(new_state, trainer.device_batch(raw))
-    want = {"acoustic", "video", "audio"} if mode == "fusion" else {"acoustic", "video"}
-    assert set(z) == want
-    assert all(v.shape == (8, 150) and np.isfinite(np.asarray(v)).all()
-               for v in z.values())
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize(
-    "mode", ["joint", pytest.param("onlyaudiovideo", marks=full_only)]
-)
-def test_joint_task(tmp_path, mode):
-    kw = dict(embedding=True, jointmvae=True)
-    if mode == "onlyaudiovideo":
-        kw["onlyaudiovideo"] = True
-    cfg = make_config(tmp_path, **kw)
-    task = JointTask(cfg)
-    p0, new_state, m, trainer, raw = _one_step(task, cfg)
-    p1 = jax.device_get(new_state.params)
-    trainable = "associator1" if mode == "onlyaudiovideo" else "associator"
-    assert not jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0[trainable], p1[trainable])
-    )
-    assert jax.tree_util.tree_all(
-        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), p0["video"], p1["video"])
-    )
-    # latent export (extract_j.py capability): joint-ac + real-ac (+audio/video)
-    z = jax.jit(
-        lambda s, r: task.embeddings(
-            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
-        )
-    )(new_state, trainer.device_batch(raw))
-    if mode == "onlyaudiovideo":
-        assert set(z) == {"acoustic", "acoustic_true"}  # featurestwo.bash
-    else:
-        assert set(z) == {"acoustic", "acoustic_true", "audio", "video"}
-        assert z["audio"].shape == (8, 256) and z["video"].shape == (8, 1024)
-    assert z["acoustic"].shape == (8, 150)
-    assert all(np.isfinite(np.asarray(v)).all() for v in z.values())
-    # ac and ac_true share the reference's single noise draw (extract_j:131-135)
-    zm = jax.jit(
-        lambda s, r: task.embeddings(
-            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0),
-            use_mean=True,
-        )
-    )(new_state, trainer.device_batch(raw))
-    noise_ac = np.asarray(z["acoustic"]) - np.asarray(zm["acoustic"])
-    assert not np.allclose(noise_ac, 0)
-
-
-@pytest.mark.slow
-def test_correspondence_task(tmp_path):
-    from acoustic_image_generation_tpu.core.config import DataConfig
-    from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
-
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1, correspondence=True),
-        model=ModelConfig(model="DualCamNet"),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="corr", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32"),
-    )
-    _, _, m, _, _ = _one_step(CorrespondenceTask(cfg), cfg)
-    assert 0.0 <= m["accuracy"] <= 1.0
-
-
-@pytest.mark.slow
-def test_correspondence_eval_mask_padded_remainder(tmp_path):
-    """Correspondence eval on a PADDED remainder batch: the augmented batch
-    concatenates true+fake halves, so the valid mask must select the real
-    prefix of EACH half (round-1 masked a contiguous prefix of the whole
-    vector — VERDICT Weak #6). With valid=5 of 8 clips the mask must count
-    2*5 clips, and the result must equal evaluating the 5 real clips
-    unpadded."""
-    from acoustic_image_generation_tpu.core.config import DataConfig
-    from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
-
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1, correspondence=True),
-        model=ModelConfig(model="DualCamNet"),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="corr_mask", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32"),
-    )
-    trainer = Trainer(CorrespondenceTask(cfg), cfg)
-    full = make_raw(n_clips=8)
-    state = trainer.init_state(full)
-
-    valid = 5
-    padded = RawBatch(
-        acoustic=np.concatenate(
-            [full.acoustic[:valid], np.zeros_like(full.acoustic[valid:])]
-        ),
-        audio=np.concatenate([full.audio[:valid], np.zeros_like(full.audio[valid:])]),
-        video=np.concatenate([full.video[:valid], np.zeros_like(full.video[valid:])]),
-        action=np.concatenate([full.action[:valid], np.zeros_like(full.action[valid:])]),
-        location=np.concatenate(
-            [full.location[:valid], np.zeros_like(full.location[valid:])]
-        ),
-        valid=valid,
-    )
-    key = jax.random.key(7)
-    sums, n = trainer._eval_step(state, trainer.device_batch(padded), key)
-    # 5 real clips, doubled by augmentation -> 10 counted rows
-    assert int(jax.device_get(n)) == 2 * valid
-    # every counted loss must be finite (padding rows would be 0/0 NaNs)
-    for v in jax.device_get(sums).values():
-        assert np.isfinite(float(v))
-
-
-@pytest.mark.slow
-@full_only
-def test_embed_task_music_13_channels(tmp_path):
-    """AVIA/music datakind (outdoor_data.py:46-49): 9 classes, 11
-    locations, 13 acoustic channels flow through the embed recipe."""
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1, datatype="music"),
-        model=ModelConfig(embedding=True),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="music_smoke", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32"),
-    )
-    assert cfg.data.num_channels == 13
-    assert cfg.data.num_classes == 9 and cfg.data.num_locations == 11
-    rng = np.random.default_rng(0)
-    raw = RawBatch(
-        acoustic=rng.random((8, 12, 36, 48, 13), dtype=np.float32),
-        audio=rng.integers(-3000, 3000, (8, 12, 1024)).astype(np.int32),
-        video=rng.integers(0, 255, (8, 12, 224, 298, 3)).astype(np.uint8),
-        action=rng.integers(0, 9, (8,)).astype(np.int32),
-        location=rng.integers(1, 12, (8,)).astype(np.int32),
-        valid=8,
-    )
-    task = EmbedTask(cfg)
-    trainer = Trainer(task, cfg)
-    state = trainer.init_state(raw)
-    new_state, metrics = trainer.train_step(state, raw)
-    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-    assert all(np.isfinite(v) for v in m.values()), m
-    z = jax.jit(
-        lambda s, r: task.embeddings(
-            s.params, s.batch_stats, trainer._prepare(r), jax.random.key(0)
-        )
-    )(new_state, trainer.device_batch(raw))
-    assert set(z) == {"acoustic", "audio", "video"}
-    assert all(np.isfinite(np.asarray(v)).all() for v in z.values())
-
-
-@pytest.mark.slow
-def test_music_correspondence_end_to_end(tmp_path):
-    """VERDICT round-1 missing #2: the AVIA/music shuffled-pair
-    correspondence (outdoor_data.py:854-902) wired end to end — music
-    synthetic shards (13 ch) -> loader -> Trainer._prepare applies
-    correspondence_shuffle -> CorrespondenceTask trains + evals."""
-    import jax.numpy as jnp
-
-    from acoustic_image_generation_tpu.core.config import DataConfig
-    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
-    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
-    from acoustic_image_generation_tpu.train.classify import CorrespondenceTask
-
-    lists = write_synthetic_dataset(
-        str(tmp_path / "music"), num_classes=2, videos_per_class=2,
-        seconds_per_video=2, num_channels=13,
-    )
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1, datatype="music",
-                        correspondence=True),
-        model=ModelConfig(model="DualCamNet"),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="music_corr", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32"),
-    )
-    assert cfg.data.num_channels == 13
-    loader = AcousticImageDataLoader(
-        lists["training"], "training", 8, datakind="music"
-    )
-    trainer = Trainer(CorrespondenceTask(cfg), cfg)
-    raw = next(iter(loader.batches(0)))
-    state = trainer.init_state(raw)
-
-    # _prepare must route through correspondence_shuffle: doubled batch,
-    # first-half-style labels present, clips stay contiguous
-    dev = trainer.device_batch(raw)
-    batch = trainer._prepare(dev, key=jax.random.key(0), train=False)
-    n = 8 * 12
-    assert batch.acoustic.shape[0] == 2 * n
-    labels = np.argmax(np.asarray(batch.correspondence), axis=1)
-    assert labels[:n].all()  # aligned half all label 1
-    # per-frame actions constant within each 12-frame clip (clip-level perm)
-    acts = np.asarray(batch.action).reshape(-1, 12)
-    assert (acts == acts[:, :1]).all()
-
-    state, metrics = trainer.train_step(state, raw)
-    assert np.isfinite(float(jax.device_get(metrics["loss"])))
-    assert 0.0 <= float(jax.device_get(metrics["accuracy"])) <= 1.0
-    val = trainer.evaluate(state, loader)
-    assert np.isfinite(val["cross_loss"])
+    out = proc.stdout + proc.stderr
+    # a group whose every test is deselected (e.g. full-only variants
+    # without AIG_FULL_TESTS) exits 5 ("no tests ran") — that is fine
+    assert proc.returncode in (0, 5), f"group {group} failed:\n{out[-5000:]}"
