@@ -88,28 +88,54 @@ def test_convert_capture_dir_and_load(raw_capture, tmp_path):
     assert batches and batches[0].video.shape[2:] == (224, 298, 3)
 
 
-def test_write_video_time(tmp_path):
-    from acoustic_image_generation_tpu.data.listing import write_video_time
+def test_framecount_video_time(tmp_path):
+    """framecount.py capability: per-capture testing_file.txt +
+    video_time.txt ('video seconds: N', the exact format convert_data.py
+    :190-195 re-parses) + per-class class_time.txt."""
+    from acoustic_image_generation_tpu.data.listing import framecount
 
-    d = tmp_path / "cap"
-    (d / "video").mkdir(parents=True)
-    for i in range(30):  # 2.5 seconds -> 2 whole seconds
-        (d / "video" / f"I_{i + 1:06d}.bmp").write_bytes(b"x")
-    assert write_video_time(str(d)) == 2
-    assert (d / "video_time.txt").read_text() == "time: 2\n"
+    raw = tmp_path / "raw"
+    for d, n in (("data_000", 3), ("data_001", 2)):
+        cap = raw / "class_0" / d
+        cap.mkdir(parents=True)
+        for i in range(n):
+            (cap / f"Data_{i + 1:03d}.tfrecord").write_bytes(b"x")
+    out = tmp_path / "out"
+    seconds = framecount(str(raw), str(out))
+    assert list(seconds.values()) == [3, 2]
+    cap0 = raw / "class_0" / "data_000"
+    assert (cap0 / "video_time.txt").read_text() == "video seconds: 3"
+    assert int(
+        (cap0 / "video_time.txt").read_text().split(":")[1].strip()
+    ) == 3  # convert_data.py:195 parse
+    listed = (out / "class_0" / "data_000" / "testing_file.txt").read_text()
+    assert listed.splitlines() == sorted(listed.splitlines())
+    assert len(listed.splitlines()) == 3
+    assert (raw / "class_0" / "class_time.txt").read_text() == "class seconds: 5"
 
 
-def test_csv_to_clip_lists(tmp_path):
-    from acoustic_image_generation_tpu.data.listing import csv_to_clip_lists
+def test_vggsound_video_list(tmp_path):
+    """readcsv.py/csvtxt.py capability: filter the VGGSound csv by class
+    subset + split and emit the videolista.txt download list."""
+    from acoustic_image_generation_tpu.data.listing import vggsound_video_list
 
-    csv_path = tmp_path / "ann.csv"
+    csv_path = tmp_path / "vggsound.csv"
     csv_path.write_text(
-        "id,start,label\nabc123,10,dog barking\ndef456,5,dog barking\nzzz,0,train\n"
+        "url,seconds,class,set\n"
+        "abc123,10,motorboat,test\n"
+        "def456,5,motorboat,train\n"
+        "ggg789,0,waterfall,test\n"
+        "zzz000,0,dog barking,test\n"
     )
-    out = csv_to_clip_lists(str(csv_path), str(tmp_path / "lists"))
-    assert set(out) == {"dog_barking", "train"}
-    lines = open(out["dog_barking"]).read().strip().splitlines()
-    assert lines == ["abc123,10", "def456,5"]
+    out = tmp_path / "videolista.txt"
+    lines = vggsound_video_list(str(csv_path), str(out), split="test")
+    assert lines == [
+        "motorboat",
+        "https://www.youtube.com/watch?v=abc123",
+        "waterfall",
+        "https://www.youtube.com/watch?v=ggg789",
+    ]
+    assert out.read_text().strip().splitlines() == lines
 
 
 def test_reshard_uncompressed_roundtrip(tmp_path):
