@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_devices", type=int, default=None)
+    # frozen-trunk performance ladder (docs/PERF.md): reference-faithful
+    # train-BN -> frozen-BN -> +int8 quantized trunk -> +feature cache
+    p.add_argument("--trunk_bn", default="train", choices=["train", "frozen"])
+    p.add_argument("--cache_trunk_features", type=int, default=0)
+    p.add_argument("--trunk_quant", default="none", choices=["none", "int8"])
     return p
 
 
@@ -149,6 +154,9 @@ def config_from_args(args) -> ExperimentConfig:
             correspondence=bool(args.correspondence),
             temporal_pooling=bool(args.temporal_pooling),
             num_class=args.num_class,
+            trunk_bn=args.trunk_bn,
+            cache_trunk_features=bool(args.cache_trunk_features),
+            trunk_quant=args.trunk_quant,
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate,

@@ -113,6 +113,12 @@ class ModelConfig:
     # frozen-backbone optimization: steady-state training then runs at
     # generator speed. See train/feature_cache.py and docs/PERF.md.
     cache_trunk_features: bool = False
+    # Run the frozen trunk as a BN-folded W8A8 int8 program
+    # (models/quant.py): "none" | "int8". Requires trunk_bn="frozen"
+    # (BN folding bakes the running stats into the weights). On v5e the
+    # int8 MXU rate and halved HBM traffic roughly double the uncached
+    # trunk-forward roofline; all trainable tensors stay full precision.
+    trunk_quant: str = "none"
 
 
 @dataclass(frozen=True)
@@ -166,6 +172,12 @@ class ParallelConfig:
     # ZeRO-3-style sharding of params/gradients/Adam moments over the data
     # axis (parallel.fsdp_sharding); False = fully replicated state
     fsdp: bool = False
+    # Tensor parallelism: split wide conv/dense output channels over a
+    # second "model" mesh axis (parallel.tp_sharding); the mesh becomes
+    # (data = num_devices // tensor_parallel, model = tensor_parallel) and
+    # XLA inserts the per-layer collectives from the weight shardings.
+    # 1 = off (pure data parallel). Mutually exclusive with fsdp.
+    tensor_parallel: int = 1
 
 
 @dataclass(frozen=True)

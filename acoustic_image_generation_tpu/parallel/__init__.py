@@ -4,6 +4,8 @@ from acoustic_image_generation_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
     shard_batch,
+    spatial_sharding,
+    tp_sharding,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "fsdp_sharding",
     "replicated_sharding",
     "shard_batch",
+    "spatial_sharding",
+    "tp_sharding",
 ]

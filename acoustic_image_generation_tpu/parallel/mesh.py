@@ -23,11 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int | None = None, *, data_axis: str = "data") -> Mesh:
+def make_mesh(
+    num_devices: int | None = None,
+    *,
+    data_axis: str = "data",
+    model_parallel: int = 1,
+    model_axis: str = "model",
+) -> Mesh:
+    """1-axis ``data`` mesh, or a 2D ``(data, model)`` mesh when
+    ``model_parallel > 1`` (tensor parallelism: the model axis is the
+    minor/fastest-varying one so TP collectives ride adjacent ICI links)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), axis_names=(data_axis,))
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devices), axis_names=(data_axis,))
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=(data_axis, model_axis))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -86,3 +100,46 @@ def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 18,
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec, params)
+
+
+def tp_sharding(params, mesh: Mesh, *, min_channels: int = 256):
+    """Tensor-parallel layout over a 2D ``(data, model)`` mesh.
+
+    Conv/dense kernels with a wide trailing (output-channel) dimension are
+    split over the ``model`` axis; XLA/GSPMD propagates channel-sharded
+    activations through the network and inserts the per-layer collectives
+    (all-gathers where a conv needs its full input channels, partial-sum
+    reductions where the contraction dim is sharded) — the standard
+    Megatron-style schedule, derived entirely from sharding annotations.
+    Everything else (biases, BN affines/stats, small kernels, scalars)
+    stays replicated over the whole mesh. Apply to a TrainState shape
+    tree: Adam moments share the params' shapes, so one rule shards them
+    identically and optimizer HBM scales down with the model axis.
+
+    Like :func:`fsdp_sharding`, only layouts the partitioner can service
+    are chosen: trailing axis only, divisible by the axis size, at least
+    ``min_channels`` channels so each device keeps a full MXU lane tile.
+    """
+    assert "model" in mesh.axis_names, "tp_sharding needs a (data, model) mesh"
+    n = mesh.shape["model"]
+
+    def spec(p):
+        shape = getattr(p, "shape", ())
+        if len(shape) >= 2 and shape[-1] >= min_channels and shape[-1] % n == 0:
+            parts = [None] * len(shape)
+            parts[-1] = "model"
+            return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def spatial_sharding(mesh: Mesh, *, rank: int = 4) -> NamedSharding:
+    """Spatial partitioning for serving: split an image batch's HEIGHT
+    dimension over the data axis, so a latency-bound request whose batch
+    is smaller than the mesh still uses every chip. GSPMD inserts the
+    halo exchanges the convolution windows need at partition boundaries.
+    ``rank``: ndim of the activation (4 = NHWC)."""
+    parts = [None] * rank
+    parts[1] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*parts))

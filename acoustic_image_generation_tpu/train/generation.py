@@ -46,6 +46,17 @@ class GenerationTask:
         # trunk_bn="frozen" additionally pins the trunk BNs to their
         # running averages (deterministic trunk — see ModelConfig.trunk_bn).
         self.trunk_bn_frozen = config.model.trunk_bn == "frozen"
+        # trunk_quant="int8": run the frozen trunk as a BN-folded W8A8
+        # int8 program (models/quant.py) — ~2x the uncached trunk roofline
+        # on v5e (int8 MXU rate + halved HBM traffic). Requires the
+        # deterministic (frozen-BN) trunk, since BN folding bakes the
+        # running stats into the weights.
+        self.trunk_quant = getattr(config.model, "trunk_quant", "none")
+        if self.trunk_quant not in ("none", "int8"):
+            raise ValueError(f"unknown trunk_quant {self.trunk_quant!r}")
+        if self.trunk_quant != "none" and not self.trunk_bn_frozen:
+            raise ValueError('trunk_quant="int8" requires trunk_bn="frozen"')
+        self._blocks = blocks
         self.resnet = ResNet50(
             blocks=blocks, dtype=dt, freeze_trunk=True,
             trunk_bn_frozen=self.trunk_bn_frozen,
@@ -88,12 +99,18 @@ class GenerationTask:
 
     # ------------------------------------------------------------------ loss
 
-    def trunk_features(self, params, batch_stats, video):
+    def trunk_features(self, params, batch_stats, video, qtrunk=None):
         """Frozen-trunk features at the stop_gradient boundary (block4
         output, pre-conv_map). Deterministic per frame when
         trunk_bn="frozen" — the cacheable quantity of
         train/feature_cache.py. Returned in the compute dtype (bfloat16
-        on TPU) so the cache is half-size."""
+        on TPU) so the cache is half-size. With ``qtrunk`` (a calibrated
+        models/quant.py pytree) the trunk runs as the int8 program."""
+        if qtrunk is not None:
+            from acoustic_image_generation_tpu.models import quant
+
+            feat, _ = quant.trunk_forward(qtrunk, video, self._blocks)
+            return feat
         return self.resnet.apply(
             {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},
             video,
@@ -101,9 +118,31 @@ class GenerationTask:
             mode="trunk",
         )
 
+    def build_qtrunk(self, params, batch_stats, calib_video):
+        """Prepack + calibrate the int8 trunk from the current (frozen)
+        resnet params. ``calib_video``: normalized frames (N,224,298,3)
+        used for the one-pass static activation calibration."""
+        from acoustic_image_generation_tpu.models import quant
+
+        qt = quant.quantize_trunk(params["resnet"], batch_stats["resnet"])
+        return quant.calibrate(qt, calib_video, self._blocks)
+
     def _forward(
-        self, params, batch_stats, batch: Batch, rngs, *, train: bool, trunk_feat=None
+        self,
+        params,
+        batch_stats,
+        batch: Batch,
+        rngs,
+        *,
+        train: bool,
+        trunk_feat=None,
+        qtrunk=None,
     ):
+        if trunk_feat is None and qtrunk is not None:
+            # int8 trunk: produce the boundary features quantized, then
+            # take the same head-only path as the feature cache, so
+            # conv_map/logits BN stats and gradients are identical.
+            trunk_feat = self.trunk_features(params, batch_stats, batch.video, qtrunk)
         video_or_feat = batch.video if trunk_feat is None else trunk_feat
         mode = "full" if trunk_feat is None else "head"
         if train:
@@ -138,9 +177,20 @@ class GenerationTask:
         )
         return out, new_stats
 
-    def loss(self, params, batch_stats, batch: Batch, rngs, *, train: bool, trunk_feat=None):
+    def loss(
+        self,
+        params,
+        batch_stats,
+        batch: Batch,
+        rngs,
+        *,
+        train: bool,
+        trunk_feat=None,
+        qtrunk=None,
+    ):
         out, new_stats = self._forward(
-            params, batch_stats, batch, rngs, train=train, trunk_feat=trunk_feat
+            params, batch_stats, batch, rngs, train=train, trunk_feat=trunk_feat,
+            qtrunk=qtrunk,
         )
         cfg = self.cfg.optim
         recon = out.output.astype(jnp.float32)
@@ -167,10 +217,12 @@ class GenerationTask:
 
     # ------------------------------------------------------------------ eval
 
-    def eval_losses(self, params, batch_stats, batch: Batch, rngs):
+    def eval_losses(self, params, batch_stats, batch: Batch, rngs, qtrunk=None):
         """Per-frame loss vectors for size-weighted accumulation
         (mfcctrainer.py:411-442) + per-3-channel test MSEs (:105-117)."""
-        out, _ = self._forward(params, batch_stats, batch, rngs, train=False)
+        out, _ = self._forward(
+            params, batch_stats, batch, rngs, train=False, qtrunk=qtrunk
+        )
         recon = out.output.astype(jnp.float32)
         err = jnp.square(recon - batch.acoustic)
         per_frame = jnp.mean(err, axis=(1, 2, 3))
@@ -181,7 +233,7 @@ class GenerationTask:
 
     # ------------------------------------------------------------ inference
 
-    def generate(self, params, batch_stats, mfcc, video, key):
+    def generate(self, params, batch_stats, mfcc, video, key, qtrunk=None):
         """Serving path: (mfcc (N,12), video (N,224,298,3) in [0,1]) ->
         generated acoustic images (N,36,48,C). Jit this once and feed
         batches; eval-mode BN, latent sampled like the reference does at
@@ -195,5 +247,7 @@ class GenerationTask:
             location=jnp.zeros((mfcc.shape[0],), jnp.int32),
             filtered_mfcc=jnp.zeros_like(mfcc),
         )
-        out, _ = self._forward(params, batch_stats, batch, {"latent": key}, train=False)
+        out, _ = self._forward(
+            params, batch_stats, batch, {"latent": key}, train=False, qtrunk=qtrunk
+        )
         return out.output.astype(jnp.float32)

@@ -42,6 +42,7 @@ from acoustic_image_generation_tpu.parallel import (
     fsdp_sharding,
     make_mesh,
     replicated_sharding,
+    tp_sharding,
 )
 from acoustic_image_generation_tpu.train import checkpoint as ckpt
 from acoustic_image_generation_tpu.train.state import TrainState
@@ -51,7 +52,14 @@ class Trainer:
     def __init__(self, task, config: ExperimentConfig, mesh=None):
         self.task = task
         self.cfg = config
-        self.mesh = mesh if mesh is not None else make_mesh(config.parallel.num_devices)
+        tp = getattr(config.parallel, "tensor_parallel", 1)
+        if config.parallel.fsdp and tp > 1:
+            raise ValueError("fsdp and tensor_parallel are mutually exclusive")
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else make_mesh(config.parallel.num_devices, model_parallel=tp)
+        )
         self.run_dir = os.path.join(config.run.checkpoint_dir, config.run.exp_name)
         self.base_key = rng_mod.experiment_key(config.run.seed)
 
@@ -72,6 +80,10 @@ class Trainer:
 
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
+        # int8 frozen-trunk program (models/quant.py): prepacked+calibrated
+        # lazily from the first batch, then passed into the jitted steps.
+        self._quant = getattr(task, "trunk_quant", "none") == "int8"
+        self._qtrunk = None
         self._state_shardings = None  # set by init_state when fsdp is on
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -161,15 +173,20 @@ class Trainer:
     def init_state(self, raw_batch) -> TrainState:
         raw = self.device_batch(raw_batch)
         key = rng_mod.role_key(self.base_key, "init")
-        if not self.cfg.parallel.fsdp:
+        tp = getattr(self.cfg.parallel, "tensor_parallel", 1)
+        if not self.cfg.parallel.fsdp and tp <= 1:
             state = self._init(key, raw)
             return jax.device_put(state, self._replicated)
-        # FSDP: derive per-leaf shardings from the state's shapes — Adam
-        # moments share the params' shapes, so one rule shards them all;
-        # jit then materializes the state directly in that layout and the
-        # train step keeps it (out_shardings below).
+        # Sharded state (FSDP over the data axis, or tensor parallel over
+        # the model axis): derive per-leaf shardings from the state's
+        # shapes — Adam moments share the params' shapes, so one rule
+        # shards them all; jit then materializes the state directly in
+        # that layout and the train step keeps it (out_shardings below).
         shapes = jax.eval_shape(self._init_impl, key, raw)
-        self._state_shardings = fsdp_sharding(shapes, self.mesh)
+        if self.cfg.parallel.fsdp:
+            self._state_shardings = fsdp_sharding(shapes, self.mesh)
+        else:
+            self._state_shardings = tp_sharding(shapes, self.mesh)
         init = jax.jit(self._init_impl, out_shardings=self._state_shardings)
         self._train_step = jax.jit(
             self._train_step_impl,
@@ -178,13 +195,14 @@ class Trainer:
         )
         return init(key, raw)
 
-    def _train_step_impl(self, state: TrainState, raw: dict):
+    def _train_step_impl(self, state: TrainState, raw: dict, qtrunk=None):
         rngs = rng_mod.train_step_rngs(self.base_key, state.step)
         batch = self._prepare(raw, key=rngs["data"])
+        kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
 
         def loss_fn(params):
             loss, metrics, new_stats = self.task.loss(
-                params, state.batch_stats, batch, rngs, train=True
+                params, state.batch_stats, batch, rngs, train=True, **kw
             )
             return loss, (metrics, new_stats)
 
@@ -203,12 +221,12 @@ class Trainer:
             metrics,
         )
 
-    def _trunk_features_impl(self, state: TrainState, video):
+    def _trunk_features_impl(self, state: TrainState, video, qtrunk=None):
         """(N, F, 224, 298, 3) uint8 -> (N*F, 14, 19, 2048) frozen-trunk
         features at the stop_gradient boundary."""
         flat = video.reshape(-1, *video.shape[2:])
         return self.task.trunk_features(
-            state.params, state.batch_stats, preprocess.normalize_video(flat)
+            state.params, state.batch_stats, preprocess.normalize_video(flat), qtrunk
         )
 
     def _train_step_cached_impl(self, state: TrainState, raw: dict, trunk_feat):
@@ -239,10 +257,13 @@ class Trainer:
             metrics,
         )
 
-    def _eval_step_impl(self, state: TrainState, raw: dict, key):
+    def _eval_step_impl(self, state: TrainState, raw: dict, key, qtrunk=None):
         batch = self._prepare(raw, key=key, train=False)
         rngs = {"latent": key, "dropout": key, "moddrop": key}
-        losses, _ = self.task.eval_losses(state.params, state.batch_stats, batch, rngs)
+        kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
+        losses, _ = self.task.eval_losses(
+            state.params, state.batch_stats, batch, rngs, **kw
+        )
         n_total = next(iter(losses.values())).shape[0]
         # Correspondence augmentation CONCATENATES a second (fake) half onto
         # the batch (preprocess.correspondence_augment), so in a padded
@@ -259,14 +280,27 @@ class Trainer:
 
     # ---------------------------------------------------------------- loops
 
+    def _maybe_build_qtrunk(self, state, raw_batch) -> None:
+        """One-time int8 prepack + static-scale calibration of the frozen
+        trunk (models/quant.py) from the first batch seen."""
+        if not self._quant or self._qtrunk is not None:
+            return
+        video = jax.device_put(np.asarray(raw_batch.video), self._batch_sharding)
+        flat = video.reshape(-1, *video.shape[2:])
+        qt = self.task.build_qtrunk(
+            state.params, state.batch_stats, preprocess.normalize_video(flat)
+        )
+        self._qtrunk = jax.device_put(jax.device_get(qt), self._replicated)
+
     def train_step(self, state, raw_batch):
+        self._maybe_build_qtrunk(state, raw_batch)
         if (
             self.feature_cache is not None
             and getattr(raw_batch, "window_ids", None) is not None
         ):
             return self._train_step_with_cache(state, raw_batch)
         raw = self.device_batch(raw_batch)
-        return self._train_step(state, raw)
+        return self._train_step(state, raw, self._qtrunk)
 
     def _train_step_with_cache(self, state, raw_batch):
         from acoustic_image_generation_tpu.train import feature_cache as fc
@@ -278,7 +312,7 @@ class Trainer:
             # cache miss: run the trunk once for this batch, persist per
             # window, and feed the step from the fresh device result
             video = jax.device_put(raw_batch.video, self._batch_sharding)
-            feat = self._trunk_features(state, video)
+            feat = self._trunk_features(state, video, self._qtrunk)
             host = np.asarray(jax.device_get(feat))
             f = raw_batch.frames
             for i in range(raw_batch.valid):
@@ -311,9 +345,10 @@ class Trainer:
         sums: dict = {}
         count = None
         for i, raw_batch in enumerate(loader.batches(epoch)):
+            self._maybe_build_qtrunk(state, raw_batch)
             raw = self.device_batch(raw_batch)
             key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
-            batch_sums, n = self._eval_step(state, raw, key)
+            batch_sums, n = self._eval_step(state, raw, key, self._qtrunk)
             for k, v in batch_sums.items():
                 sums[k] = v if k not in sums else sums[k] + v
             count = n if count is None else count + n

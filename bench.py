@@ -78,6 +78,9 @@ def main() -> None:
     mode = os.environ.get("AIG_BENCH_MODE", "train")  # train|infer|pipeline|scan
     use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
     trunk_bn = os.environ.get("AIG_BENCH_TRUNK_BN", "frozen")  # frozen|train
+    # AIG_BENCH_TRUNK_QUANT=int8: BN-folded W8A8 trunk (models/quant.py) —
+    # the uncached-step accelerator (int8 MXU + halved HBM traffic)
+    trunk_quant = os.environ.get("AIG_BENCH_TRUNK_QUANT", "none")
 
     if mode == "pipeline":
         return _pipeline_bench(clips)
@@ -97,7 +100,7 @@ def main() -> None:
         data=DataConfig(batch_size=clips, sample_length=1),
         model=ModelConfig(
             embedding=True, mfcc=True, num_skip_conn=1, trunk_bn=trunk_bn,
-            cache_trunk_features=use_cache,
+            cache_trunk_features=use_cache, trunk_quant=trunk_quant,
         ),
         optim=OptimConfig(learning_rate=1e-4),
         run=RunConfig(exp_name="bench", checkpoint_dir="/tmp/aig_bench_ck"),
@@ -118,8 +121,18 @@ def main() -> None:
     )
     opt_state = jax.jit(tx.init)(params)
 
+    qtrunk = None
+    if trunk_quant != "none":
+        from acoustic_image_generation_tpu.data.preprocess import normalize_video
+
+        # one-time prepack + static activation calibration on this batch
+        qtrunk = task.build_qtrunk(
+            params, batch_stats, normalize_video(video)
+        )
+        jax.block_until_ready(qtrunk)
+
     if mode == "infer":
-        return _infer_bench(task, params, batch_stats, audio, video, clips)
+        return _infer_bench(task, params, batch_stats, audio, video, clips, qtrunk)
 
     # ------------------------------------------------------------- steps
     use_feat = use_cache and mode == "train"
@@ -133,7 +146,8 @@ def main() -> None:
 
         def loss_fn(p):
             loss, metrics, new_stats = task.loss(
-                p, batch_stats, batch, {"latent": key}, train=True, trunk_feat=feat
+                p, batch_stats, batch, {"latent": key}, train=True, trunk_feat=feat,
+                qtrunk=qtrunk,
             )
             return loss, new_stats
 
@@ -149,7 +163,9 @@ def main() -> None:
         def trunk(params, batch_stats, video):
             from acoustic_image_generation_tpu.data.preprocess import normalize_video
 
-            return task.trunk_features(params, batch_stats, normalize_video(video))
+            return task.trunk_features(
+                params, batch_stats, normalize_video(video), qtrunk
+            )
 
         feat = trunk(params, batch_stats, video)
         jax.block_until_ready(feat)
@@ -186,7 +202,7 @@ def main() -> None:
     _emit("generation_train_clips_per_sec_chip", n_steps * clips / dt)
 
 
-def _infer_bench(task, params, batch_stats, audio, video, clips: int) -> None:
+def _infer_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=None) -> None:
     """Forward-only serving throughput: mfcc + video -> acoustic image."""
     from acoustic_image_generation_tpu.data.preprocess import (
         normalize_mfcc,
@@ -197,7 +213,9 @@ def _infer_bench(task, params, batch_stats, audio, video, clips: int) -> None:
     @jax.jit
     def serve(params, batch_stats, audio, video, key):
         mfcc = normalize_mfcc(mfcc_from_frames(audio.astype(jnp.float32)))
-        return task.generate(params, batch_stats, mfcc, normalize_video(video), key)
+        return task.generate(
+            params, batch_stats, mfcc, normalize_video(video), key, qtrunk
+        )
 
     out = serve(params, batch_stats, audio, video, jax.random.key(0))
     float(jnp.sum(out))

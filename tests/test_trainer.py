@@ -379,3 +379,49 @@ def test_fit_logs_media_when_tensorboard_set(tiny_dataset, tmp_path):
     media = globmod.glob(os.path.join(log_dir, "media", "*.png"))
     names = {os.path.basename(p).rsplit("_", 1)[0] for p in media}
     assert {"valid_generated", "valid_real", "valid_video"} <= names
+
+
+@pytest.mark.slow
+def test_tensor_parallel_shards_channels(tiny_dataset, tmp_path):
+    """Tensor parallelism (parallel.tp_sharding): wide output-channel dims
+    split over the model axis of a (data, model) mesh; Adam moments
+    inherit the layout; a train step runs, keeps it, and stays finite."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, sample_length=1),
+        model=ModelConfig(encoder_type="Ac"),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="tp", checkpoint_dir=str(tmp_path)),
+        parallel=ParallelConfig(compute_dtype="float32", tensor_parallel=2),
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    for raw in loader.batches(0):
+        break
+    state = trainer.init_state(raw)
+
+    big = state.params["model"]["dense"]["kernel"]  # (150, 2304)
+    assert big.sharding.spec == P(None, "model")
+    small = state.params["model"]["final"]["bias"]
+    assert small.sharding.spec == P()
+    mu_big = state.opt_state[0].mu["model"]["dense"]["kernel"]
+    assert mu_big.sharding.spec == P(None, "model")
+    new_state, metrics = trainer.train_step(state, raw)
+    assert new_state.params["model"]["dense"]["kernel"].sharding.spec == P(
+        None, "model"
+    )
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
+def test_spatial_sharding_spec():
+    from jax.sharding import PartitionSpec as P
+
+    from acoustic_image_generation_tpu.parallel import make_mesh, spatial_sharding
+
+    mesh = make_mesh(8)
+    assert spatial_sharding(mesh).spec == P(None, "data")
+    mesh2 = make_mesh(8, model_parallel=2)
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}
