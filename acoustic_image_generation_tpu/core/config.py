@@ -113,6 +113,13 @@ class ModelConfig:
     # frozen-backbone optimization: steady-state training then runs at
     # generator speed. See train/feature_cache.py and docs/PERF.md.
     cache_trunk_features: bool = False
+    # Per-chip HBM budget for the device-resident tier of the trunk
+    # feature cache (train/feature_cache.DeviceFeatureCache): windows that
+    # fit stay in HBM and the train step gathers them on device (zero
+    # feature bytes over PCIe in steady state); the rest use the host
+    # tier. 0 disables the device tier. Only used with
+    # cache_trunk_features=True.
+    cache_device_bytes: int = 4 << 30
     # Run the frozen trunk as a BN-folded W8A8 int8 program
     # (models/quant.py): "none" | "int8". Requires trunk_bn="frozen"
     # (BN folding bakes the running stats into the weights). On v5e the

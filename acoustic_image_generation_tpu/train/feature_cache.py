@@ -82,3 +82,105 @@ def gather_batch(cache: TrunkFeatureCache, window_ids, valid: int):
             return None
         feats.append(f)
     return jnp.asarray(np.concatenate(feats, axis=0))
+
+
+class DeviceFeatureCache:
+    """HBM-resident tier in front of the host cache.
+
+    The host-side cache removes trunk *compute* but still re-uploads every
+    batch's features each step (~0.8 GB/step at 64 clips x 12 frames —
+    a host->device transfer comparable to the 51 ms compute it feeds).
+    This tier keeps a bounded pool of windows resident on device as one
+    ``(capacity, frames, 14, 19, 2048)`` buffer; the train step receives
+    the buffer plus per-window slot indices and gathers on device, so
+    steady state moves no feature bytes over PCIe at all.
+
+    The buffer is replicated over the mesh (each chip gathers its own
+    batch rows locally — zero collectives under data parallelism);
+    capacity is a per-chip HBM budget. Windows that do not fit stay in
+    the host tier; the tiering is HBM -> host RAM -> recompute.
+    """
+
+    def __init__(self, max_bytes: int, sharding=None) -> None:
+        self.max_bytes = max_bytes
+        self.sharding = sharding
+        self.buf = None  # (capacity, frames, 14, 19, 2048), lazy
+        self.slots: dict[int, int] = {}
+        self._next = 0
+        self._capacity = 0
+        self._insert = None
+
+    def lookup(self, window_ids, valid: int):
+        """int32 slot ids (len(window_ids),) if every valid window is
+        resident, else None. Padded rows repeat the last valid slot."""
+        res = self.lookup_partial(window_ids, valid)
+        if res is None or res[1]:
+            return None
+        return res[0]
+
+    def lookup_partial(self, window_ids, valid: int):
+        """(slots, missing): slots int32 (N,) with placeholder 0 for rows
+        not resident; missing = [(row_index, window_id), ...] for the
+        valid rows the pool lacks. None if the pool is empty. Padded rows
+        repeat the last valid slot (their loss contribution is masked)."""
+        if self.buf is None:
+            return None
+        slots = np.zeros(len(window_ids), np.int32)
+        missing: list[tuple[int, int]] = []
+        last = 0
+        for i, wid in enumerate(window_ids):
+            if i >= valid:
+                slots[i] = last
+                continue
+            s = self.slots.get(int(wid))
+            if s is None:
+                missing.append((i, int(wid)))
+            else:
+                slots[i] = s
+                last = s
+        return slots, missing
+
+    def put_batch(self, window_ids, valid: int, feat, frames: int) -> None:
+        """Insert freshly computed features (device array (N*frames, ...))
+        for as many new windows as the budget allows."""
+        import jax
+
+        per_window = feat[: frames].size * feat.dtype.itemsize * 1  # bytes
+        if self.buf is None:
+            capacity = int(self.max_bytes // max(per_window, 1))
+            if capacity <= 0:
+                self._capacity = 0
+                return
+            self._capacity = capacity
+            shape = (capacity, frames) + tuple(feat.shape[1:])
+            buf = jnp.zeros(shape, feat.dtype)
+            if self.sharding is not None:
+                buf = jax.device_put(buf, self.sharding)
+            self.buf = buf
+            self._insert = jax.jit(
+                lambda buf, idx, f: buf.at[idx].set(f), donate_argnums=(0,)
+            )
+        new_ids = [
+            int(w) for i, w in enumerate(window_ids)
+            if i < valid and int(w) not in self.slots
+        ]
+        room = self._capacity - self._next
+        new_ids = new_ids[:room]
+        if not new_ids:
+            return
+        idx, fparts = [], []
+        shaped = feat.reshape(-1, frames, *feat.shape[1:])
+        for i, wid in enumerate(window_ids[:valid]):
+            if int(wid) in self.slots or int(wid) not in new_ids:
+                continue
+            self.slots[int(wid)] = self._next
+            idx.append(self._next)
+            fparts.append(shaped[i])
+            self._next += 1
+        self.buf = self._insert(
+            self.buf, jnp.asarray(np.asarray(idx, np.int32)), jnp.stack(fparts)
+        )
+
+    @property
+    def resident(self) -> int:
+        return len(self.slots)

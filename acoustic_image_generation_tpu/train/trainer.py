@@ -94,6 +94,7 @@ class Trainer:
         # trunk is deterministic (trunk_bn="frozen"), and no
         # correspondence augmentation reshuffles batch rows.
         self.feature_cache = None
+        self.device_cache = None
         if (
             getattr(config.model, "cache_trunk_features", False)
             and hasattr(task, "trunk_features")
@@ -109,6 +110,27 @@ class Trainer:
             self._train_step_cached = jax.jit(
                 self._train_step_cached_impl, donate_argnums=(0,)
             )
+            dev_bytes = getattr(config.model, "cache_device_bytes", 0)
+            if dev_bytes > 0:
+                from acoustic_image_generation_tpu.train.feature_cache import (
+                    DeviceFeatureCache,
+                )
+
+                self.device_cache = DeviceFeatureCache(
+                    dev_bytes, sharding=self._replicated
+                )
+                # same math as _train_step_cached, but the features are
+                # gathered on device from the resident pool (no PCIe)
+                self._train_step_cached_dev = jax.jit(
+                    self._train_step_cached_dev_impl, donate_argnums=(0,)
+                )
+                # mixed-tier variant: resident rows gathered from the
+                # pool, host rows scattered in (only the misses cross
+                # PCIe). Missing-row counts are padded to powers of two
+                # so at most log2(batch) variants ever compile.
+                self._train_step_cached_mixed = jax.jit(
+                    self._train_step_cached_mixed_impl, donate_argnums=(0,)
+                )
 
     # ---------------------------------------------------------------- batch
 
@@ -257,6 +279,26 @@ class Trainer:
             metrics,
         )
 
+    def _train_step_cached_dev_impl(self, state: TrainState, raw: dict, buf, slots):
+        """Cached train step fed from the HBM-resident feature pool:
+        gather the batch's windows by slot index on device, then run the
+        same head+generator step as _train_step_cached_impl."""
+        feat = buf[slots]
+        return self._train_step_cached_impl(
+            state, raw, feat.reshape(-1, *feat.shape[2:])
+        )
+
+    def _train_step_cached_mixed_impl(
+        self, state: TrainState, raw: dict, buf, slots, pos, rows
+    ):
+        """Mixed-tier cached step: start from the device pool's gather,
+        overwrite the rows the pool lacks (``pos``) with host-cache rows
+        (``rows``, the only feature bytes uploaded this step)."""
+        feat = buf[slots].at[pos].set(rows)
+        return self._train_step_cached_impl(
+            state, raw, feat.reshape(-1, *feat.shape[2:])
+        )
+
     def _eval_step_impl(self, state: TrainState, raw: dict, key, qtrunk=None):
         batch = self._prepare(raw, key=key, train=False)
         rngs = {"latent": key, "dropout": key, "moddrop": key}
@@ -305,27 +347,77 @@ class Trainer:
     def _train_step_with_cache(self, state, raw_batch):
         from acoustic_image_generation_tpu.train import feature_cache as fc
 
+        raw = self._cached_raw(raw_batch)
+        # tier 1: HBM-resident pool — gather by slot index on device;
+        # rows the pool lacks are filled from the host tier so only the
+        # misses cross PCIe (after a reshuffle most batches are mixed)
+        if self.device_cache is not None:
+            res = self.device_cache.lookup_partial(
+                raw_batch.window_ids, raw_batch.valid
+            )
+            if res is not None:
+                slots, missing = res
+                if not missing:
+                    return self._train_step_cached_dev(
+                        state, raw, self.device_cache.buf, jnp.asarray(slots)
+                    )
+                host_rows = []
+                for _, wid in missing:
+                    f = self.feature_cache.get(wid)
+                    if f is None:
+                        host_rows = None
+                        break
+                    host_rows.append(f)
+                if host_rows is not None:
+                    m = len(missing)
+                    mpad = 1 << (m - 1).bit_length()
+                    pos = np.asarray(
+                        [i for i, _ in missing]
+                        + [missing[-1][0]] * (mpad - m),
+                        np.int32,
+                    )
+                    rows = np.stack(host_rows + [host_rows[-1]] * (mpad - m))
+                    return self._train_step_cached_mixed(
+                        state,
+                        raw,
+                        self.device_cache.buf,
+                        jnp.asarray(slots),
+                        jnp.asarray(pos),
+                        jnp.asarray(rows),
+                    )
+        # tier 2: host cache (re-uploads the batch's features)
         feat = fc.gather_batch(
             self.feature_cache, raw_batch.window_ids, raw_batch.valid
         )
         if feat is None:
-            # cache miss: run the trunk once for this batch, persist per
-            # window, and feed the step from the fresh device result
+            # tier 3: run the trunk once for this batch, then persist —
+            # into the device pool while it has room, the host cache after
             video = jax.device_put(raw_batch.video, self._batch_sharding)
             feat = self._trunk_features(state, video, self._qtrunk)
-            host = np.asarray(jax.device_get(feat))
             f = raw_batch.frames
+            if self.device_cache is not None:
+                self.device_cache.put_batch(
+                    raw_batch.window_ids, raw_batch.valid, feat, f
+                )
+            resident = self.device_cache.slots if self.device_cache else {}
+            host = None
             for i in range(raw_batch.valid):
-                if not self.feature_cache.put(
-                    int(raw_batch.window_ids[i]), host[i * f : (i + 1) * f]
-                ):
+                wid = int(raw_batch.window_ids[i])
+                if wid in resident:
+                    continue
+                if host is None:
+                    host = np.asarray(jax.device_get(feat))
+                if not self.feature_cache.put(wid, host[i * f : (i + 1) * f]):
                     break  # budget exhausted; later misses recompute
         else:
             feat = jax.device_put(feat, self._batch_sharding)
-        # the trunk never runs in the cached step: ship a 1x1 dummy video
-        # so the batch upload drops from ~150 MB to bytes
+        return self._train_step_cached(state, raw, feat)
+
+    def _cached_raw(self, raw_batch) -> dict:
+        """Batch upload for the cached step: the trunk never runs, so ship
+        a 1x1 dummy video (drops the upload from ~150 MB to bytes)."""
         n, f = raw_batch.video.shape[:2]
-        raw = {
+        return {
             "acoustic": jax.device_put(raw_batch.acoustic, self._batch_sharding),
             "audio": jax.device_put(raw_batch.audio, self._batch_sharding),
             "video": jax.device_put(
@@ -335,7 +427,6 @@ class Trainer:
             "location": jax.device_put(raw_batch.location, self._batch_sharding),
             "valid": jnp.int32(raw_batch.valid),
         }
-        return self._train_step_cached(state, raw, feat)
 
     def evaluate(self, state: TrainState, loader, epoch: int = 0) -> dict:
         """Size-weighted mean eval losses (trainer/*.py ``_evaluate``).

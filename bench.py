@@ -135,7 +135,7 @@ def main() -> None:
         return _infer_bench(task, params, batch_stats, audio, video, clips, qtrunk)
 
     # ------------------------------------------------------------- steps
-    use_feat = use_cache and mode == "train"
+    use_feat = use_cache and mode in ("train", "scan")
     dummy_video = jnp.zeros((frames, 1, 1, 3), jnp.uint8)
 
     def step_body(params, batch_stats, opt_state, acoustic, audio, video, action, key, feat):
