@@ -7,6 +7,12 @@ functional (param pytrees), take explicit ``train``/rng arguments instead of
 dtype (bf16 on TPU) with float32 params.
 """
 
+from acoustic_image_generation_tpu.models.decoders import (
+    DecoderAudio,
+    DecoderEnergy,
+    DecoderVideo,
+    MeanStd,
+)
 from acoustic_image_generation_tpu.models.dualcamnet import DualCamNet
 from acoustic_image_generation_tpu.models.resnet import ResNet50
 from acoustic_image_generation_tpu.models.unet_ac import UNetAcoustic, UNetAcResNet
@@ -14,6 +20,10 @@ from acoustic_image_generation_tpu.models.unet_sound import UNetSound
 from acoustic_image_generation_tpu.models.unet_video import UNetEnergy, UNetVideo, UNetVideoSkip
 
 __all__ = [
+    "DecoderAudio",
+    "DecoderEnergy",
+    "DecoderVideo",
+    "MeanStd",
     "DualCamNet",
     "ResNet50",
     "UNetAcoustic",

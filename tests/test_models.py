@@ -142,3 +142,51 @@ def test_tile_mfccmap_matches_reference_tile():
     assert tiled.shape == (2, 36, 48, 12)
     # every spatial position carries the per-sample mfcc vector
     np.testing.assert_array_equal(np.asarray(tiled[1, 17, 31]), np.asarray(mfcc[1]))
+
+
+def test_decoder_energy_shapes():
+    from acoustic_image_generation_tpu.models import DecoderEnergy
+
+    m = DecoderEnergy()
+    z = jnp.ones((2, 150))
+    var = m.init({"params": jax.random.key(0)}, z)
+    out = m.apply(var, z)
+    assert out.shape == (2, 36, 48, 1)
+    assert np.all(np.asarray(out) >= 0)  # final relu (decoders.py:118)
+
+
+def test_decoder_video_shapes():
+    from acoustic_image_generation_tpu.models import DecoderVideo
+
+    m = DecoderVideo()
+    z = jnp.ones((1, 150))
+    var = m.init({"params": jax.random.key(0)}, z)
+    out = m.apply(var, z)
+    assert out.shape == (1, 224, 298, 3)
+    o = np.asarray(out)
+    assert np.all((o >= 0) & (o <= 1))  # final sigmoid (decoders.py:49)
+
+
+def test_decoder_audio_shapes():
+    from acoustic_image_generation_tpu.models import DecoderAudio
+
+    m = DecoderAudio()
+    z = jnp.ones((1, 150))
+    var = m.init({"params": jax.random.key(0)}, z)
+    out = m.apply(var, z)
+    assert out.shape == (1, 12288, 1, 1)  # 1 s waveform (decoders.py:187)
+
+
+def test_mean_std_normalizes_without_scale():
+    from acoustic_image_generation_tpu.models import MeanStd
+
+    m = MeanStd()
+    x = jnp.asarray(np.random.default_rng(0).normal(3.0, 2.0, (64, 6)), jnp.float32)
+    var = m.init({"params": jax.random.key(0)}, x)
+    # no gamma: only a beta offset parameter exists (meanvariance.py:34 scale=False)
+    leaves = jax.tree_util.tree_leaves_with_path(var["params"])
+    names = [jax.tree_util.keystr(p) for p, _ in leaves]
+    assert any("bias" in n for n in names) and not any("scale" in n for n in names)
+    out, _ = m.apply(var, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out).mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out).std(0), 1.0, atol=1e-2)
