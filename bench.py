@@ -60,6 +60,13 @@ def _emit(metric: str, clips_per_sec: float) -> None:
 def main() -> None:
     import optax
 
+    # warmup-only speedup: persist compiled executables across runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("AIG_JAX_CACHE", "/tmp/aig_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from acoustic_image_generation_tpu.core.config import (
         DataConfig,
         ExperimentConfig,

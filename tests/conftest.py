@@ -30,6 +30,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite's wall-clock on a 1-core host is
+# dominated by XLA CPU compiles; caching them makes re-runs (and CI
+# retries) start from warm executables.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("AIG_JAX_CACHE", "/tmp/aig_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

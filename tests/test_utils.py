@@ -193,3 +193,37 @@ def test_aggregate_runs_xlsx_artifact(tmp_path):
     rows = read_xlsx_rows(out)
     assert rows[0] == ["metric", "mean", "std", "n"]
     assert rows[1][0] == "acc" and rows[1][1] == 3.0 and rows[1][3] == 5
+
+
+def test_profiler_op_stats_roundtrip(tmp_path):
+    """trace() -> op_stats(): the parsed capture has a device op lane with
+    per-category times/bytes and named top ops (utils/profiling.py).
+
+    The capture runs in a clean single-device subprocess: under
+    --xla_force_host_platform_device_count the CPU backend emits no
+    per-op trace lane, so the suite's own process cannot produce one."""
+    import os
+    import subprocess
+    import sys
+
+    from acoustic_image_generation_tpu.utils import profiling
+
+    d = str(tmp_path / "trace")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    prog = (
+        "import jax, jax.numpy as jnp\n"
+        "from acoustic_image_generation_tpu.utils import profiling\n"
+        "f = jax.jit(lambda x: (x @ x).sum())\n"
+        "x = jnp.ones((256, 256))\n"
+        "float(f(x))\n"
+        f"d = {d!r}\n"
+        "with profiling.trace(d):\n"
+        "    [float(f(x)) for _ in range(4)]\n"
+    )
+    subprocess.run([sys.executable, "-c", prog], env=env, check=True, timeout=300)
+    s = profiling.op_stats(d, steps=4, top=5)
+    assert s["total_ms"] >= 0 and s["by_category"] and s["top_ops"]
+    row = s["by_category"][0]
+    assert {"category", "ms", "pct", "gb_accessed", "gbps"} <= set(row)
+    assert all(op["long_name"] for op in s["top_ops"])
