@@ -156,7 +156,12 @@ fr0 = threshold_fractions(np.asarray(ious0))
 auc0 = localization_auc(fr0)
 print(f"untrained: test MSE {float(mse0):.5f}  AUC {auc0:.4f}", flush=True)
 
-EPOCHS = 300
+# 300 epochs ~ 900 steps (micro-scale default). The reference's real
+# protocol runs ~80k steps; AIG_STUDY_EPOCHS lets the study match that
+# scale (the cached/frozen trunk makes 30k+ steps a <1 h run) to test
+# whether the render-from-latent plateau (docs/RESULTS.md) clears with
+# reference-length optimization.
+EPOCHS = int(os.environ.get("AIG_STUDY_EPOCHS", "300"))
 steps_per_epoch = n_tr // BATCH
 CLIPS_PER_STEP = BATCH // 12
 
@@ -178,7 +183,8 @@ for epoch in range(EPOCHS):
             params, batch_stats, opt_state, *dtr, dtr_act, idx,
             jax.random.key(SEED * 1_000_000 + epoch * 1000 + s),
         )
-    if epoch % 10 == 9 or epoch == 0:
+    eval_every = max(10, EPOCHS // 100)
+    if epoch % eval_every == eval_every - 1 or epoch == 0:
         tm, ti, _ = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
         history.append((epoch, float(jax.device_get(mse)), float(tm)))
         print(f"epoch {epoch}: train MSE {history[-1][1]:.5f} "
