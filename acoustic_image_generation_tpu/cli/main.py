@@ -235,6 +235,14 @@ def make_loader(config: ExperimentConfig, split: str):
     path = files[split]
     if path is None:
         return None
+    shard = {}
+    if config.data.host_shard:
+        import jax
+
+        shard = {
+            "shard_index": jax.process_index(),
+            "shard_count": jax.process_count(),
+        }
     return AcousticImageDataLoader(
         path,
         split,
@@ -242,6 +250,7 @@ def make_loader(config: ExperimentConfig, split: str):
         sample_length=config.data.sample_length,
         datakind=config.data.datatype,
         seed=config.run.seed,
+        **shard,
     )
 
 

@@ -52,6 +52,11 @@ class DataConfig:
     # (outdoor_data_mfcc.py:119-159); None = sibling of train_file when
     # normalize_spectrogram is set
     stats_dir: str | None = None
+    # multi-host input sharding: each process reads/decodes only its own
+    # slice of every global batch (pipeline shard_index/shard_count from
+    # jax.process_index()/process_count(); parallel.form_global_batch
+    # assembles the global array). No-op in single-process runs.
+    host_shard: bool = False
 
     @property
     def nr_frames(self) -> int:

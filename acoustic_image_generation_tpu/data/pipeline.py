@@ -75,8 +75,15 @@ class AcousticImageDataLoader:
         include_extras: tuple[str, ...] = (),
         cache_windows: bool = False,
         cache_bytes: int = 8 << 30,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ) -> None:
         assert txt_file is not None
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
+        assert batch_size % shard_count == 0, (
+            f"global batch_size {batch_size} must divide evenly over "
+            f"{shard_count} host shards"
+        )
         self.mode = mode
         self.batch_size = batch_size
         self.sample_length = sample_length
@@ -91,6 +98,17 @@ class AcousticImageDataLoader:
         self.num_io_threads = num_io_threads
         self.prefetch_batches = prefetch_batches
         self.seed = seed
+        # Multi-host input sharding (SURVEY.md §2.6/§7 "host-sharded input
+        # pipelines"; no reference counterpart — single process at
+        # /root/reference/main.py:106). Every host derives the SAME global
+        # shuffled window order from (seed, epoch) and decodes only its
+        # contiguous row slice of each global batch, so the shards tile
+        # the global batch exactly; parallel.mesh.form_global_batch
+        # assembles the per-host rows into one global jax.Array without
+        # cross-host data movement. All hosts yield the same number of
+        # batches per epoch (SPMD lockstep), padding rows they don't own.
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
         self.include_boxes = include_boxes
         self.extra_context = tuple(include_extras)
@@ -123,6 +141,11 @@ class AcousticImageDataLoader:
     @property
     def total_batches(self) -> int:
         return self.plan.total_batches(self.batch_size)
+
+    @property
+    def local_batch_size(self) -> int:
+        """Rows this host yields per batch (= batch_size unless sharded)."""
+        return self.batch_size // self.shard_count
 
     @property
     def num_windows(self) -> int:
@@ -271,6 +294,13 @@ class AcousticImageDataLoader:
         if rem and not self.drop_remainder:
             idx_batches.append(order[n_full * bs :])
 
+        # Host shard: each host owns a contiguous row slice of every
+        # global batch. A remainder batch may leave a host with fewer (or
+        # zero) real rows; it still yields a static-shape batch so all
+        # hosts run the same number of steps.
+        lbs = self.local_batch_size
+        lo = self.shard_index * lbs
+
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
@@ -280,15 +310,23 @@ class AcousticImageDataLoader:
                     for idxs in idx_batches:
                         if stop.is_set():
                             return
+                        valid = max(0, min(len(idxs) - lo, lbs))
+                        local = idxs[lo : lo + valid]
                         decoded = list(
-                            pool.map(self._decode_window_by_index, idxs)
+                            pool.map(self._decode_window_by_index, local)
                         )
-                        valid = len(decoded)
-                        ids = np.asarray(idxs, np.int64)
-                        if valid < bs:
-                            decoded += [decoded[-1]] * (bs - valid)
+                        ids = np.asarray(local, np.int64)
+                        if valid < lbs:
+                            # pad to static shape; padded rows are
+                            # zero-filled by _assemble and masked by
+                            # ``valid``, so only their ids matter (repeat
+                            # a real window id so cache gathers resolve)
+                            pad_id = ids[-1] if valid else np.int64(idxs[-1])
+                            decoded += [decoded[-1] if valid else None] * (
+                                lbs - valid
+                            )
                             ids = np.concatenate(
-                                [ids, np.full((bs - valid,), ids[-1], np.int64)]
+                                [ids, np.full((lbs - valid,), pad_id, np.int64)]
                             )
                         batch = self._assemble(decoded, valid)
                         batch.window_ids = ids

@@ -61,6 +61,35 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def form_global_batch(batch, mesh: Mesh):
+    """Assemble the globally-sharded batch from this process's local rows.
+
+    Companion of the loader's host sharding
+    (``data/pipeline.AcousticImageDataLoader(shard_index=, shard_count=)``):
+    each host reads/decodes only its contiguous row slice of every global
+    batch; this stitches those rows into one global ``jax.Array`` whose
+    leading axis is sharded over the ``data`` mesh axis. Multi-process,
+    the rows land on the host's own addressable devices
+    (``jax.make_array_from_process_local_data``) — no cross-host batch
+    movement, only the gradient all-reduce crosses hosts. Single-process
+    this degrades to :func:`shard_batch`.
+
+    Requires the standard SPMD layout contract: hosts appear in the mesh
+    in process order and ``local rows x process_count = global rows``
+    (the loader guarantees the row counts; meshes from :func:`make_mesh`
+    use ``jax.devices()`` order, which satisfies the former).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def fsdp_sharding(params, mesh: Mesh, *, min_size: int = 1 << 18,
                   min_shard_rows: int = 8):
     """ZeRO-3-style parameter sharding over the data axis.

@@ -44,6 +44,7 @@ from acoustic_image_generation_tpu.parallel import (
     replicated_sharding,
     tp_sharding,
 )
+from acoustic_image_generation_tpu.parallel import mesh as mesh_mod
 from acoustic_image_generation_tpu.train import checkpoint as ckpt
 from acoustic_image_generation_tpu.train.state import TrainState
 
@@ -168,7 +169,16 @@ class Trainer:
         return batch
 
     def device_batch(self, raw_batch) -> dict:
-        """Host RawBatch -> sharded device arrays (+ valid count)."""
+        """Host RawBatch -> sharded device arrays (+ valid count).
+
+        Multi-process (host-sharded loader, ``DataConfig.host_shard``):
+        each process contributes its local rows to one global array via
+        ``parallel.form_global_batch``; ``valid`` becomes the global row
+        count. Only full batches are supported across hosts (training's
+        ``drop_remainder`` default) — a remainder batch's real rows are a
+        per-host prefix, which the contiguous-prefix ``valid`` masking
+        cannot describe globally.
+        """
         arrays = {
             "acoustic": raw_batch.acoustic,
             "audio": raw_batch.audio,
@@ -176,10 +186,25 @@ class Trainer:
             "action": raw_batch.action,
             "location": raw_batch.location,
         }
+        n_proc = jax.process_count()
+        if n_proc == 1:
+            out = {
+                k: jax.device_put(v, self._batch_sharding)
+                for k, v in arrays.items()
+            }
+            out["valid"] = jnp.int32(raw_batch.valid)
+            return out
+        if raw_batch.valid != raw_batch.action.shape[0]:
+            raise ValueError(
+                "multi-host training requires full batches "
+                "(drop_remainder=True in the loader); got "
+                f"{raw_batch.valid}/{raw_batch.action.shape[0]} real rows"
+            )
         out = {
-            k: jax.device_put(v, self._batch_sharding) for k, v in arrays.items()
+            k: mesh_mod.form_global_batch(v, self.mesh)
+            for k, v in arrays.items()
         }
-        out["valid"] = jnp.int32(raw_batch.valid)
+        out["valid"] = jnp.int32(raw_batch.valid * n_proc)
         return out
 
     # ---------------------------------------------------------------- steps

@@ -196,6 +196,73 @@ class TestSyntheticAndLoader:
         assert sum(b.valid for b in batches) == 8
         assert all(b.acoustic.shape[0] == 3 for b in batches)
 
+    def test_host_sharded_loader_tiles_global_batches(self, dataset):
+        """Two host shards (shard_index 0/1 of 2) must together reproduce
+        the single-process loader's batches row-for-row: same global
+        shuffled order, each host decoding only its contiguous slice."""
+        mk = lambda **kw: AcousticImageDataLoader(
+            dataset["training"], "training", batch_size=4,
+            sample_length=1, seed=3, **kw
+        )
+        glob_loader = mk()
+        shards = [mk(shard_index=i, shard_count=2) for i in range(2)]
+        assert all(s.local_batch_size == 2 for s in shards)
+        for epoch in (0, 1):  # shuffled orders must agree across hosts
+            gb = list(glob_loader.batches(epoch))
+            s0 = list(shards[0].batches(epoch))
+            s1 = list(shards[1].batches(epoch))
+            assert len(gb) == len(s0) == len(s1) == 2
+            for g, a, b in zip(gb, s0, s1):
+                assert a.valid == b.valid == 2 and g.valid == 4
+                for field in ("acoustic", "audio", "video", "action",
+                              "location", "window_ids"):
+                    np.testing.assert_array_equal(
+                        getattr(g, field),
+                        np.concatenate(
+                            [getattr(a, field), getattr(b, field)]
+                        ),
+                        err_msg=field,
+                    )
+
+    def test_host_sharded_remainder_keeps_hosts_in_lockstep(self, dataset):
+        """A global remainder batch can leave a later shard with zero real
+        rows; it must still yield a static-shape batch (same step count on
+        every host) with valid=0."""
+        mk = lambda **kw: AcousticImageDataLoader(
+            dataset["testing"], "testing", batch_size=6, sample_length=1,
+            **kw
+        )
+        glob_loader = mk()
+        shards = [mk(shard_index=i, shard_count=2) for i in range(2)]
+        gb = list(glob_loader.batches())
+        s0 = list(shards[0].batches())
+        s1 = list(shards[1].batches())
+        # 8 testing windows, global bs 6 -> one full batch + remainder 2
+        assert len(gb) == len(s0) == len(s1) == 2
+        assert [b.valid for b in s0] == [3, 2]
+        assert [b.valid for b in s1] == [3, 0]
+        for g, a, b in zip(gb, s0, s1):
+            assert a.acoustic.shape[0] == b.acoustic.shape[0] == 3
+            joined = np.concatenate(
+                [a.acoustic[: a.valid], b.acoustic[: b.valid]]
+            )
+            np.testing.assert_array_equal(g.acoustic[: g.valid], joined)
+        # padded rows are zero-filled, ids stay well-formed
+        assert not s1[-1].acoustic.any()
+        assert s1[-1].window_ids.shape == (3,)
+
+    def test_host_shard_validation(self, dataset):
+        with pytest.raises(AssertionError):
+            AcousticImageDataLoader(
+                dataset["training"], "training", batch_size=5,
+                shard_index=0, shard_count=2,
+            )
+        with pytest.raises(AssertionError):
+            AcousticImageDataLoader(
+                dataset["training"], "training", batch_size=4,
+                shard_index=2, shard_count=2,
+            )
+
 
 def test_correspondence_shuffle_labels():
     """Shuffled-pair correspondence (outdoor_data.py:854-902)."""

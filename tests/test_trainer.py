@@ -543,3 +543,45 @@ def test_spatial_sharding_spec():
     assert spatial_sharding(mesh).spec == P(None, "data")
     mesh2 = make_mesh(8, model_parallel=2)
     assert dict(mesh2.shape) == {"data": 4, "model": 2}
+
+
+def test_host_sharded_rows_stitch_into_global_batch(tiny_dataset):
+    """SPMD row-order contract of the host-sharded input pipeline: shard
+    i's rows, placed on mesh slot i's devices, must reconstruct exactly
+    the array form_global_batch produces from the full batch. (True
+    multi-process assembly can't run in one process, so this validates
+    the same placement with make_array_from_single_device_arrays.)"""
+    import jax
+
+    from acoustic_image_generation_tpu.parallel import (
+        batch_sharding,
+        form_global_batch,
+        make_mesh,
+    )
+
+    mesh = make_mesh(2)
+    n_shards = 2
+    mk = lambda **kw: AcousticImageDataLoader(
+        tiny_dataset["training"], "training", batch_size=8,
+        sample_length=1, seed=0, **kw
+    )
+    global_batch = next(iter(mk().batches(0)))
+    shard_batches = [
+        next(iter(mk(shard_index=i, shard_count=n_shards).batches(0)))
+        for i in range(n_shards)
+    ]
+
+    sharding = batch_sharding(mesh)
+    devices = list(mesh.devices.flat)
+    pieces = [
+        jax.device_put(sb.acoustic, devices[i])
+        for i, sb in enumerate(shard_batches)
+    ]
+    stitched = jax.make_array_from_single_device_arrays(
+        global_batch.acoustic.shape, sharding, pieces
+    )
+    expected = form_global_batch(global_batch.acoustic, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(stitched), np.asarray(expected)
+    )
+    assert stitched.sharding.is_equivalent_to(expected.sharding, stitched.ndim)
