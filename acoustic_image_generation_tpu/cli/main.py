@@ -117,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trunk_bn", default="train", choices=["train", "frozen"])
     p.add_argument("--cache_trunk_features", type=int, default=0)
     p.add_argument("--trunk_quant", default="none", choices=["none", "int8"])
+    # multi-host pods: each process decodes only its slice of the global
+    # batch (data/pipeline.py shard_index/shard_count)
+    p.add_argument("--host_shard", type=int, default=0)
     return p
 
 
@@ -134,6 +137,7 @@ def config_from_args(args) -> ExperimentConfig:
             buffer_size=args.buffer_size,
             block_size=args.block_size,
             correspondence=bool(args.correspondence),
+            host_shard=bool(args.host_shard),
         ),
         model=ModelConfig(
             model=args.model,

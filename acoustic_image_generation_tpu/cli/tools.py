@@ -357,10 +357,17 @@ def cmd_generate(args) -> int:
         break
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
+    # honor --trunk_quant int8 in the serving path too: one-time
+    # calibration from the first batch (docs/PERF.md int8 ladder)
+    trainer._maybe_build_qtrunk(state, first)
+    qtrunk = trainer._qtrunk
 
     def _serve(raw, key):
         batch = trainer._prepare(raw)
-        gen = task.generate(state.params, state.batch_stats, batch.mfcc, batch.video, key)
+        gen = task.generate(
+            state.params, state.batch_stats, batch.mfcc, batch.video, key,
+            qtrunk=qtrunk,
+        )
         return (gen, find_logen(gen)) if args.energy else (gen,)
 
     step = jax.jit(_serve)

@@ -96,6 +96,16 @@ class Trainer:
         # correspondence augmentation reshuffles batch rows.
         self.feature_cache = None
         self.device_cache = None
+        if getattr(config.model, "cache_trunk_features", False) and (
+            jax.process_count() > 1
+        ):
+            # the cache tiers are host-local (HBM pool + host RAM keyed by
+            # this process's window ids); under multi-host SPMD the cached
+            # step's gathered features would only cover local rows
+            raise ValueError(
+                "cache_trunk_features is not supported with multi-host "
+                "training (host_shard); disable one of the two"
+            )
         if (
             getattr(config.model, "cache_trunk_features", False)
             and hasattr(task, "trunk_features")

@@ -42,19 +42,28 @@ from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
 t_start = time.time()
 
 # ---------------------------------------------------------------- dataset
-tmp = "/tmp/aig_study_ds"
+# AIG_STUDY_VIDEOS scales the dataset (default 8 videos/class = 96 train
+# clips; the reference protocol trains on ~17k clips — data scale is one
+# of the plateau hypotheses in docs/RESULTS.md)
+VIDEOS = int(os.environ.get("AIG_STUDY_VIDEOS", "8"))
+tmp = f"/tmp/aig_study_ds_v{VIDEOS}" if VIDEOS != 8 else "/tmp/aig_study_ds"
 if not os.path.exists(tmp):
     write_synthetic_dataset(
-        tmp, num_classes=2, videos_per_class=8, seconds_per_video=8, seed=7
+        tmp, num_classes=2, videos_per_class=VIDEOS, seconds_per_video=8,
+        seed=7,
     )
-# manual video-level split: videos 1..6 of each class train, 7..8 test
+# manual video-level split: first 3/4 of each class's videos train, rest test
+n_train_v = VIDEOS * 3 // 4
 lists = {}
-for split, rng_v in (("training", range(1, 7)), ("testing", range(7, 9))):
+for split, rng_v in (
+    ("training", range(1, n_train_v + 1)),
+    ("testing", range(n_train_v + 1, VIDEOS + 1)),
+):
     keep = []
     with open(os.path.join(tmp, "lists/training.txt")) as f:
         for line in f:
             loc = int(line.split("/data_")[1][:3])
-            v = (loc - 1) % 8 + 1
+            v = (loc - 1) % VIDEOS + 1
             if v in rng_v:
                 keep.append(line.strip())
     path = os.path.join(tmp, f"lists/{split}_study.txt")
@@ -149,9 +158,40 @@ def test_metrics(params, batch_stats, d0, d1, d2, dact, key):
     return mse, ious, recon
 
 
+# Chunked wrappers: at AIG_STUDY_VIDEOS scale a single trunk forward
+# over the whole split would not fit HBM; evaluate/generate in
+# fixed-size frame chunks and aggregate on host.
+CHUNK = 768
+
+
+def test_metrics_chunked(params, batch_stats, d0, d1, d2, dact, key):
+    n = d0.shape[0]
+    tot, ious, recons = 0.0, [], []
+    for i in range(0, n, CHUNK):
+        sl = slice(i, min(i + CHUNK, n))
+        m, io, rc = test_metrics(
+            params, batch_stats, d0[sl], d1[sl], d2[sl], dact[sl], key
+        )
+        tot += float(jax.device_get(m)) * (sl.stop - sl.start)
+        ious.append(np.asarray(io)); recons.append(np.asarray(rc))
+    return tot / n, np.concatenate(ious), np.concatenate(recons)
+
+
+def generate_chunked(params, batch_stats, d0, d1, d2, dact, key):
+    n = d0.shape[0]
+    outs = []
+    for i in range(0, n, CHUNK):
+        sl = slice(i, min(i + CHUNK, n))
+        _, rc = generate(
+            params, batch_stats, d0[sl], d1[sl], d2[sl], dact[sl], key
+        )
+        outs.append(np.asarray(rc))
+    return np.concatenate(outs)
+
+
 # pre-training baseline
 rng = np.random.default_rng(SEED)
-mse0, ious0, _ = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
+mse0, ious0, _ = test_metrics_chunked(params, batch_stats, *dte, dte_act, jax.random.key(9))
 fr0 = threshold_fractions(np.asarray(ious0))
 auc0 = localization_auc(fr0)
 print(f"untrained: test MSE {float(mse0):.5f}  AUC {auc0:.4f}", flush=True)
@@ -185,12 +225,12 @@ for epoch in range(EPOCHS):
         )
     eval_every = max(10, EPOCHS // 100)
     if epoch % eval_every == eval_every - 1 or epoch == 0:
-        tm, ti, _ = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
+        tm, ti, _ = test_metrics_chunked(params, batch_stats, *dte, dte_act, jax.random.key(9))
         history.append((epoch, float(jax.device_get(mse)), float(tm)))
         print(f"epoch {epoch}: train MSE {history[-1][1]:.5f} "
               f"test MSE {history[-1][2]:.5f} ({time.time()-t_start:.0f}s)", flush=True)
 
-mse1, ious1, recon_test = test_metrics(params, batch_stats, *dte, dte_act, jax.random.key(9))
+mse1, ious1, recon_test = test_metrics_chunked(params, batch_stats, *dte, dte_act, jax.random.key(9))
 fr1 = threshold_fractions(np.asarray(ious1))
 auc1 = localization_auc(fr1)
 print(f"trained: test MSE {float(mse1):.5f}  AUC {auc1:.4f}", flush=True)
@@ -241,7 +281,7 @@ acc_gen = float(dcn_acc(dcn_params, recon_test, dte_act))
 
 # trainer_reconstructed_class protocol: train a second DualCamNet ON
 # generated images (frozen generator), evaluate on generated test images
-_, recon_train = generate(params, batch_stats, *dtr, dtr_act, jax.random.key(11))
+recon_train = generate_chunked(params, batch_stats, *dtr, dtr_act, jax.random.key(11))
 dcn2_params = jax.jit(lambda: dcn.init({"params": jax.random.key(5)},
                                        jnp.zeros((12, 36, 48, 12))))()["params"]
 dopt2 = jax.jit(dtx.init)(dcn2_params)
@@ -261,6 +301,7 @@ def dcn2_step(p, opt, images, dact, idx):
     return optax.apply_updates(p, upd), opt, loss
 
 
+recon_train = jax.device_put(recon_train)
 for epoch in range(30):
     perm = clip_perm(rng, n_tr)
     for s in range(steps_per_epoch):

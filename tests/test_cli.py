@@ -139,3 +139,19 @@ def test_correspondence_dispatch():
     task = select_task(parse(["--model", "DualCamNet", "--correspondence", "1"]))
     assert isinstance(task, CorrespondenceTask)
     assert task.model.num_classes == 2
+
+
+def test_host_shard_flag_reaches_loader(tmp_path):
+    from acoustic_image_generation_tpu.cli.main import make_loader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+
+    lists = write_synthetic_dataset(
+        str(tmp_path), num_classes=2, videos_per_class=1, seconds_per_video=2
+    )
+    cfg = parse(["--mode", "train", "--train_file", lists["training"],
+                 "--host_shard", "1", "--batch_size", "4"])
+    assert cfg.data.host_shard
+    loader = make_loader(cfg, "training")
+    # single-process: identity sharding (index 0 of 1)
+    assert (loader.shard_index, loader.shard_count) == (0, 1)
+    assert loader.local_batch_size == 4

@@ -166,6 +166,24 @@ def test_tools_generate_serving_cli(tmp_path):
     assert np.isfinite(gen).all() and np.isfinite(energy).all()
     assert gen.min() >= 0.0 and gen.max() <= 1.0
 
+    # int8 frozen trunk in the serving path (--trunk_quant flows through
+    # --train_flags; cmd_generate calibrates qtrunk from the first batch).
+    # Compiling the second serve program costs ~10 min on a 1-core CI
+    # host, so the variant stays behind AIG_FULL_TESTS (quant math itself
+    # is covered by tests/test_quant.py).
+    if not os.environ.get("AIG_FULL_TESTS"):
+        return
+    out_q = tmp_path / "served_int8"
+    rc = tools.main([
+        "generate", "--set", "testing", path, str(out_q), "--",
+        *flags, "--trunk_bn", "frozen", "--trunk_quant", "int8",
+    ])
+    assert rc == 0
+    gen_q = np.load(out_q / "testing_generated.npy")
+    assert gen_q.shape == (n, 36, 48, 12)
+    assert np.isfinite(gen_q).all()
+    assert gen_q.min() >= 0.0 and gen_q.max() <= 1.0
+
 
 @pytest.mark.slow
 def test_show_video_folder_renderer(tmp_path):

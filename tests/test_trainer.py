@@ -540,7 +540,7 @@ def test_spatial_sharding_spec():
     from acoustic_image_generation_tpu.parallel import make_mesh, spatial_sharding
 
     mesh = make_mesh(8)
-    assert spatial_sharding(mesh).spec == P(None, "data")
+    assert spatial_sharding(mesh).spec == P(None, "data", None, None)
     mesh2 = make_mesh(8, model_parallel=2)
     assert dict(mesh2.shape) == {"data": 4, "model": 2}
 
