@@ -247,6 +247,14 @@ def make_loader(config: ExperimentConfig, split: str):
             "shard_index": jax.process_index(),
             "shard_count": jax.process_count(),
         }
+        if jax.process_count() > 1 and split != "training":
+            # multi-host eval runs on full batches only: a padded
+            # remainder's real rows are a per-host prefix, which the
+            # global contiguous-prefix valid mask cannot describe
+            # (device_batch rejects such batches). Dropping the final
+            # partial batch loses at most batch_size-1 windows of the
+            # eval split — the standard pod-scale trade.
+            shard["drop_remainder"] = True
     return AcousticImageDataLoader(
         path,
         split,

@@ -220,12 +220,18 @@ def resample_to_12288(data: np.ndarray, fs: int) -> np.ndarray:
 
     from scipy.signal import resample_poly
 
+    if np.issubdtype(data.dtype, np.floating):
+        # IEEE-float wav files carry samples in [-1, 1] (what
+        # scipy.io.wavfile returns for float PCM); a plain int cast
+        # would truncate every sample to 0 — rescale to int16 range
+        data = np.clip(data, -1.0, 1.0) * 32767.0
     target = FRAMES_PER_SECOND * NUM_SAMPLES
     if fs == target:
-        return data.astype(np.int32)
+        return np.round(data).astype(np.int32) if data.dtype.kind == "f" \
+            else data.astype(np.int32)
     g = gcd(target, fs)
     out = resample_poly(data.astype(np.float64), target // g, fs // g)
-    return out.astype(np.int32)
+    return np.round(out).astype(np.int32)
 
 
 def _read_image(path: str, *, size: tuple[int, int] | None = None) -> np.ndarray:

@@ -167,7 +167,13 @@ class AcousticImageDataLoader:
                 if a is not None
             )
             with self._cache_lock:
-                if self._cache_bytes + nbytes <= self._cache_bytes_budget:
+                # re-check membership: two iterators can decode the same
+                # window concurrently, and charging it twice would make
+                # the byte counter refuse later windows early
+                if (
+                    idx not in cache
+                    and self._cache_bytes + nbytes <= self._cache_bytes_budget
+                ):
                     cache[idx] = rec
                     self._cache_bytes += nbytes
         return rec

@@ -152,7 +152,8 @@ def correspondence_augment_no_video(batch: Batch) -> Batch:
 
 
 def correspondence_shuffle(
-    batch: Batch, key, *, frames: int = 1, final_shuffle: bool = True
+    batch: Batch, key, *, frames: int = 1, final_shuffle: bool = True,
+    valid_clips=None,
 ) -> Batch:
     """Shuffled-pair correspondence of the AVIA/music loader
     (outdoor_data.py:854-902): double the batch; the first half keeps
@@ -183,7 +184,21 @@ def correspondence_shuffle(
     def expand(clip_perm):
         return (clip_perm[:, None] * frames + jnp.arange(frames)[None, :]).reshape(-1)
 
-    perm = expand(jax.random.permutation(k1, c))
+    if valid_clips is None:
+        perm = expand(jax.random.permutation(k1, c))
+    else:
+        # Padded remainder batch (eval): permute only among the first
+        # ``valid_clips`` real clips so no real row is paired with a
+        # zero-filled padding partner; padded positions map to
+        # themselves. argsort of keyed ranks keeps this jit-safe with a
+        # dynamic ``valid_clips``.
+        r = jax.random.uniform(k1, (c,))
+        ranks = jnp.where(
+            jnp.arange(c) < valid_clips,
+            r,
+            2.0 + jnp.arange(c, dtype=jnp.float32),
+        )
+        perm = expand(jnp.argsort(ranks))
     action2 = batch.action[perm]
     location2 = batch.location[perm]
     labels2 = ((batch.action == action2) & (batch.location == location2)).astype(jnp.int32)

@@ -81,7 +81,10 @@ def gather_batch(cache: TrunkFeatureCache, window_ids, valid: int):
         if f is None:
             return None
         feats.append(f)
-    return jnp.asarray(np.concatenate(feats, axis=0))
+    # host array: the caller device_puts it once with the batch sharding
+    # (jnp.asarray here would commit to device 0 and force a second
+    # device->device rescatter on multi-device meshes)
+    return np.concatenate(feats, axis=0)
 
 
 class DeviceFeatureCache:

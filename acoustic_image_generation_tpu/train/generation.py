@@ -109,7 +109,9 @@ class GenerationTask:
         if qtrunk is not None:
             from acoustic_image_generation_tpu.models import quant
 
-            feat, _ = quant.trunk_forward(qtrunk, video, self._blocks)
+            feat, _ = quant.trunk_forward(
+                qtrunk, video, self._blocks, out_dtype=self.resnet.dtype
+            )
             return feat
         return self.resnet.apply(
             {"params": params["resnet"], "batch_stats": batch_stats["resnet"]},

@@ -168,9 +168,12 @@ class Trainer:
             if music:
                 # AVIA/music shuffled-pair correspondence; eval keeps the
                 # concatenated half order so the per-half valid mask of
-                # _eval_step_impl stays exact on padded remainder batches
+                # _eval_step_impl stays exact on padded remainder batches,
+                # and constrains the pairing to real clips so no counted
+                # row pairs with zero-filled padding
                 batch = preprocess.correspondence_shuffle(
-                    batch, key, frames=f, final_shuffle=train
+                    batch, key, frames=f, final_shuffle=train,
+                    valid_clips=None if train else raw["valid"],
                 )
             elif self.cfg.data.correspondence_video:
                 batch = preprocess.correspondence_augment_no_video(batch)
@@ -253,9 +256,20 @@ class Trainer:
         return init(key, raw)
 
     def _train_step_impl(self, state: TrainState, raw: dict, qtrunk=None):
+        return self._step_core(state, raw, qtrunk=qtrunk)
+
+    def _step_core(self, state: TrainState, raw: dict, *, qtrunk=None,
+                   trunk_feat=None):
+        """Shared body of the full and cached train steps: prepare,
+        loss+grad, optimizer update, next TrainState. ``qtrunk`` routes
+        the int8 trunk; ``trunk_feat`` bypasses the trunk entirely."""
         rngs = rng_mod.train_step_rngs(self.base_key, state.step)
         batch = self._prepare(raw, key=rngs["data"])
-        kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
+        kw = {}
+        if qtrunk is not None:
+            kw["qtrunk"] = qtrunk
+        if trunk_feat is not None:
+            kw["trunk_feat"] = trunk_feat
 
         def loss_fn(params):
             loss, metrics, new_stats = self.task.loss(
@@ -289,30 +303,7 @@ class Trainer:
     def _train_step_cached_impl(self, state: TrainState, raw: dict, trunk_feat):
         """Train step consuming cached trunk features; the video tensor in
         ``raw`` is a dummy (the trunk never runs)."""
-        rngs = rng_mod.train_step_rngs(self.base_key, state.step)
-        batch = self._prepare(raw, key=rngs["data"])
-
-        def loss_fn(params):
-            loss, metrics, new_stats = self.task.loss(
-                params, state.batch_stats, batch, rngs, train=True,
-                trunk_feat=trunk_feat,
-            )
-            return loss, (metrics, new_stats)
-
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=new_params,
-                batch_stats=new_stats,
-                opt_state=new_opt,
-            ),
-            metrics,
-        )
+        return self._step_core(state, raw, trunk_feat=trunk_feat)
 
     def _train_step_cached_dev_impl(self, state: TrainState, raw: dict, buf, slots):
         """Cached train step fed from the HBM-resident feature pool:
@@ -442,7 +433,10 @@ class Trainer:
                     continue
                 if host is None:
                     host = np.asarray(jax.device_get(feat))
-                if not self.feature_cache.put(wid, host[i * f : (i + 1) * f]):
+                # copy: a view would pin the whole batch array in RAM
+                # while put() only charges the slice's bytes
+                row = np.ascontiguousarray(host[i * f : (i + 1) * f])
+                if not self.feature_cache.put(wid, row):
                     break  # budget exhausted; later misses recompute
         else:
             feat = jax.device_put(feat, self._batch_sharding)

@@ -10,6 +10,7 @@ round-trip through a standalone XML parse in tests/test_utils.py.
 
 from __future__ import annotations
 
+import numbers
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -48,8 +49,12 @@ def _col_name(i: int) -> str:
 
 def _cell(row: int, col: int, value) -> str:
     ref = f"{_col_name(col)}{row + 1}"
-    if isinstance(value, (int, float)) and not isinstance(value, bool):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    # numbers.Real catches numpy scalars too (np.float64 reprs as
+    # "np.float64(...)" under numpy>=2, which corrupts the sheet, and
+    # np.int64/np.float32 would otherwise become text cells)
+    if isinstance(value, numbers.Real) and not isinstance(value, bool):
+        v = int(value) if isinstance(value, numbers.Integral) else float(value)
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
     text = escape(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 

@@ -44,17 +44,12 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_CHIP = 5000.0 / 8.0
 
 
-def _emit(metric: str, clips_per_sec: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4),
-            }
-        )
-    )
+def _emit(metric: str, clips_per_sec: float, *, unit: str = "clips/sec/chip",
+          baseline: bool = True) -> None:
+    rec = {"metric": metric, "value": round(clips_per_sec, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4)
+    print(json.dumps(rec))
 
 
 def main() -> None:
@@ -307,7 +302,10 @@ def _ingest_bench(clips: int) -> None:
         f"ingest cold {rates[0]:.1f} clips/s; cached epoch {rates[1]:.1f} clips/s",
         file=sys.stderr,
     )
-    _emit("ingest_clips_per_sec", rates[0])
+    # host-side IO/decode measurement: no chip involved, and the
+    # 625-clips/s/chip train target is not a meaningful baseline
+    _emit("ingest_clips_per_sec", rates[0], unit="clips/sec/host",
+          baseline=False)
 
 
 def _ensure_bench_dataset() -> str:

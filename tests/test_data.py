@@ -296,6 +296,52 @@ def test_correspondence_shuffle_labels():
     assert set(np.unique(labels)) <= {0, 1}
 
 
+def test_correspondence_shuffle_valid_clips_excludes_padding():
+    """Padded remainder batches (eval): with ``valid_clips`` the fake
+    half's real rows must pair only with real clips, and padded positions
+    must map to themselves — no counted row sees zero-filled partners."""
+    import jax
+    import jax.numpy as jnp
+
+    from acoustic_image_generation_tpu.data.preprocess import (
+        Batch,
+        correspondence_shuffle,
+    )
+
+    n, valid = 8, 5
+    rng = np.random.default_rng(1)
+    # mark each clip's audio with its index; padded rows zeroed like the
+    # loader's _assemble
+    audio = np.zeros((n, 1024), np.float32)
+    audio[:valid] = np.arange(1, valid + 1, dtype=np.float32)[:, None]
+    batch = Batch(
+        acoustic=jnp.asarray(rng.random((n, 36, 48, 12), dtype=np.float32)),
+        audio=jnp.asarray(audio),
+        mfcc=jnp.asarray(rng.random((n, 12), dtype=np.float32)),
+        video=jnp.asarray(rng.random((n, 8, 8, 3), dtype=np.float32)),
+        action=jnp.asarray(rng.integers(0, 3, n).astype(np.int32)),
+        location=jnp.asarray(rng.integers(0, 2, n).astype(np.int32)),
+        filtered_mfcc=jnp.asarray(rng.random((n, 12), dtype=np.float32)),
+    )
+    for key in range(6):
+        out = correspondence_shuffle(
+            batch, jax.random.key(key), final_shuffle=False,
+            valid_clips=jnp.int32(valid),
+        )
+        fake_audio = np.asarray(out.audio[n:])
+        # real rows of the fake half got a REAL partner's audio (nonzero
+        # markers 1..valid), padded rows kept their own (zero) audio
+        assert (fake_audio[:valid, 0] > 0).all()
+        assert set(fake_audio[:valid, 0]) <= set(range(1, valid + 1))
+        assert (fake_audio[valid:] == 0).all()
+    # jit-safe with a traced valid count
+    jax.jit(
+        lambda b, k, v: correspondence_shuffle(
+            b, k, final_shuffle=False, valid_clips=v
+        )
+    )(batch, jax.random.key(0), jnp.int32(valid))
+
+
 def test_music_datakind_13_channels_no_flip(tmp_path):
     """AVIA/music: 13 channels, no parse-time flips (outdoor_data.py:46-49,
     :400-401)."""
