@@ -73,10 +73,10 @@ def main() -> None:
     from acoustic_image_generation_tpu.data.preprocess import preprocess_batch
     from acoustic_image_generation_tpu.train.generation import GenerationTask
 
-    # 64-clip default: measured 1243.6 (64) / 1271.4 (128) cached
-    # clips/sec/chip — near-flat past 64; 64 keeps the feature cache and
-    # activations comfortably inside HBM alongside real training state.
-    clips = int(os.environ.get("AIG_BENCH_CLIPS", "64"))
+    # 128-clip default: measured 1237.9 (64) / 1268.1 (128) cached
+    # clips/sec/chip; 192 clips exhausts HBM alongside the device-resident
+    # feature pool. 128 is the measured sweet spot on one v5e core.
+    clips = int(os.environ.get("AIG_BENCH_CLIPS", "128"))
     mode = os.environ.get("AIG_BENCH_MODE", "train")  # train|infer|pipeline|scan
     use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
     trunk_bn = os.environ.get("AIG_BENCH_TRUNK_BN", "frozen")  # frozen|train
