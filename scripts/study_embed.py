@@ -150,6 +150,8 @@ results["wall_s"] = round(time.time() - t0, 1)
 print(json.dumps(results, indent=1), flush=True)
 out = os.environ.get("AIG_EMBED_OUT")
 if out:
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f)

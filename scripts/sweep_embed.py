@@ -15,23 +15,47 @@ import os
 import subprocess
 import sys
 
+here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(here))
+
 SEEDS = [int(s) for s in os.environ.get("AIG_SWEEP_SEEDS", "0,1,2,3,4").split(",")]
+EPOCHS = int(os.environ.get("AIG_EMBED_EPOCHS", "120"))
 OUT_DIR = os.environ.get("AIG_SWEEP_DIR", "/tmp/aig_embed_sweep")
 os.makedirs(OUT_DIR, exist_ok=True)
+# The dev tunnel wedges on hour-scale processes; scale the per-seed cap
+# with the epoch count instead of hardcoding the default-epochs budget.
+SEED_TIMEOUT = max(3600, 40 * EPOCHS)
 
-here = os.path.dirname(os.path.abspath(__file__))
+
+def _load_seed(path: str, seed: int):
+    """Reuse a cached seed result only if it is complete and matches."""
+    try:
+        with open(path) as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if r.get("seed") != seed or r.get("epochs") != EPOCHS:
+        return None
+    if "knn15" not in r or "retrieval_rank1" not in r:
+        return None
+    return r
+
+
 runs = []
 for seed in SEEDS:
     out = os.path.join(OUT_DIR, f"seed_{seed}.json")
-    if not os.path.exists(out):
+    r = _load_seed(out, seed)
+    if r is None:
         env = dict(os.environ, AIG_EMBED_SEED=str(seed), AIG_EMBED_OUT=out)
         print(f"--- seed {seed}", flush=True)
         subprocess.run(
             [sys.executable, "-u", os.path.join(here, "study_embed.py")],
-            env=env, check=True, timeout=3600,
+            env=env, check=True, timeout=SEED_TIMEOUT,
         )
-    with open(out) as f:
-        runs.append(json.load(f))
+        r = _load_seed(out, seed)
+        if r is None:
+            raise RuntimeError(f"seed {seed} produced no valid result at {out}")
+    runs.append(r)
 
 from acoustic_image_generation_tpu.evaluation.aggregate import aggregate_runs
 
