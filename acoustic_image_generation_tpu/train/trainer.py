@@ -481,7 +481,9 @@ class Trainer:
     def fit(self, train_loader, valid_loader, *, state: TrainState | None = None) -> TrainState:
         """Epoch loop. When resuming from a restored ``state``, epoch
         numbering continues from the step counter (the reference derives
-        start_epoch from global_step, ``trainer/trainer.py:250``)."""
+        start_epoch from global_step, ``trainer/trainer.py:250``); a state
+        saved mid-epoch (crash checkpoint) resumes at the exact batch it
+        stopped on, replaying the epoch's seeded order up to that point."""
         cfg = self.cfg
         os.makedirs(self.run_dir, exist_ok=True)
         cfg.save(os.path.join(self.run_dir, "configuration.txt"))
@@ -502,6 +504,7 @@ class Trainer:
 
         first = None
         start_epoch = 0
+        skip_steps = 0
         if state is None:
             for first in train_loader.batches(0):
                 break
@@ -511,7 +514,14 @@ class Trainer:
             steps_per_epoch = max(
                 train_loader.num_windows // train_loader.batch_size, 1
             )
-            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+            step = int(jax.device_get(state.step))
+            start_epoch = step // steps_per_epoch
+            # Mid-epoch resume (e.g. from an interrupted_{N} crash
+            # checkpoint): the loader's per-epoch order is seeded, and the
+            # per-step RNGs key off ``state.step``, so skipping the batches
+            # the interrupted run already consumed continues the run
+            # bit-exactly. Skipped batches pay decode but no device time.
+            skip_steps = step % steps_per_epoch
 
         for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
             t0 = time.time()
@@ -520,6 +530,9 @@ class Trainer:
             metrics = None
             try:
                 for raw_batch in train_loader.batches(epoch):
+                    if skip_steps:
+                        skip_steps -= 1
+                        continue
                     state, metrics = self.train_step(state, raw_batch)
                     n_steps += 1
                 # fetch once per epoch: pulling metric VALUES per step forces

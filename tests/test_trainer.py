@@ -207,6 +207,77 @@ def test_resume_reproduces_uninterrupted_run(tiny_dataset, tmp_path):
 
 
 @pytest.mark.slow
+def test_midepoch_resume_reproduces_uninterrupted_run(tmp_path, tmp_path_factory):
+    """A crash checkpoint taken mid-epoch resumes at the exact batch where
+    the run stopped: the loader's per-epoch order is seeded and the
+    per-step RNGs key off ``state.step``, so skipping the already-consumed
+    batches continues the run bit-for-bit (vs the reference, which can only
+    restart whole epochs — trainer/trainer.py:250)."""
+    import dataclasses
+
+    import jax
+
+    out = tmp_path_factory.mktemp("acivw16")
+    # 4 videos x 4 seconds = 16 sliding windows -> 2 batches of 8 per epoch
+    lists = write_synthetic_dataset(
+        str(out), num_classes=2, videos_per_class=2, seconds_per_video=4
+    )
+    loaders = lambda: (
+        AcousticImageDataLoader(lists["training"], "training", 8),
+        AcousticImageDataLoader(lists["validation"], "validation", 8),
+    )
+
+    cfg_full = make_config(tmp_path / "full", encoder_type="Ac")
+    tr, va = loaders()
+    full = Trainer(ReconstructTask(cfg_full), cfg_full).fit(tr, va)
+    assert int(full.step) == 4  # 2 epochs x 2 steps
+
+    # identical run that dies after the FIRST batch of epoch 1 (step 3)
+    cfg_crash = dataclasses.replace(
+        cfg_full,
+        run=dataclasses.replace(cfg_full.run, checkpoint_dir=str(tmp_path / "crash")),
+    )
+    tr, va = loaders()
+
+    class CrashingLoader:
+        batch_size = tr.batch_size
+        num_windows = tr.num_windows
+
+        def batches(self, epoch):
+            for i, b in enumerate(tr.batches(epoch)):
+                yield b
+                if epoch == 1 and i == 0:
+                    raise IOError("simulated mid-epoch crash")
+
+    trainer_crash = Trainer(ReconstructTask(cfg_crash), cfg_crash)
+    with pytest.raises(IOError, match="mid-epoch"):
+        trainer_crash.fit(CrashingLoader(), va)
+    paths = glob.glob(
+        os.path.join(trainer_crash.run_dir, "epoch_interrupted_1.ckpt")
+    )
+    assert paths, "no crash checkpoint written"
+
+    # resume: finishes the second half of epoch 1 and nothing else
+    cfg_res = dataclasses.replace(
+        cfg_crash, optim=dataclasses.replace(cfg_crash.optim, num_epochs=1)
+    )
+    trainer_res = Trainer(ReconstructTask(cfg_res), cfg_res)
+    tr2, va2 = loaders()
+    for first in tr2.batches(0):
+        break
+    template = trainer_res.init_state(first)
+    restored = trainer_res.restore(paths[0], template)
+    assert int(restored.step) == 3
+    resumed = trainer_res.fit(tr2, va2, state=restored)
+
+    assert int(resumed.step) == int(full.step) == 4
+    a = jax.device_get(full.params)
+    b = jax.device_get(resumed.params)
+    eq = jax.tree_util.tree_map(lambda x, y: np.array_equal(x, y), a, b)
+    assert jax.tree_util.tree_all(eq)
+
+
+@pytest.mark.slow
 def test_reconstruct_energy_step(tiny_dataset, tmp_path):
     """Energy-map recipe (encoder_type=Energy -> BN-less UNetEnergy on the
     min-max-normalized first acoustic channel): one sharded train step +
