@@ -329,6 +329,47 @@ def cmd_show_video(args) -> int:
     return 0
 
 
+def cmd_export_tf1(args) -> int:
+    """Export a trained flagship (GenerationTask) checkpoint back to the
+    reference's TF1 format (core/tf1_export): the file restores in the
+    reference's own stack — mfcctrainer's per-scope init
+    (``/root/reference/trainer/mfcctrainer.py:185-225``) and its eval CLIs."""
+    import jax
+
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser as main_parser,
+        config_from_args,
+        make_loader,
+        select_task,
+    )
+    from acoustic_image_generation_tpu.core.tf1_export import (
+        export_generation_checkpoint,
+    )
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = main_parser().parse_args(_strip(args.train_flags))
+    config = config_from_args(main_args)
+    task = select_task(config)
+    trainer = Trainer(task, config)
+    loader = make_loader(config, "training")
+    for first in loader.batches(0):
+        break
+    template = trainer.init_state(first)
+    state = trainer.restore(args.checkpoint, template)
+    params = jax.device_get(state.params)
+    if "generator" not in params or "resnet" not in params:
+        print("export-tf1 needs the generation recipe (--embedding 1 --mfcc 1)")
+        return 2
+    out = export_generation_checkpoint(
+        params,
+        jax.device_get(state.batch_stats),
+        args.out_path,
+        global_step=int(jax.device_get(state.step)),
+    )
+    print(out)
+    return 0
+
+
 def cmd_generate(args) -> int:
     """Serving path: batch-generate acoustic images from (mfcc, video)
     with a trained generator — the deployment counterpart of ``--mode
@@ -493,6 +534,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write inverted spatial energy maps")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser(
+        "export-tf1",
+        help="export a trained flagship checkpoint as a reference TF1 .ckpt",
+    )
+    s.add_argument("checkpoint")
+    s.add_argument("out_path", help="TF checkpoint path prefix to write")
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_export_tf1)
 
     s = sub.add_parser("extract", help="export latents for knn/retrieval")
     s.add_argument("checkpoint")

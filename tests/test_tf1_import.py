@@ -167,3 +167,175 @@ def test_conv_transpose_matches_tensorflow(h, w, k, s):
         x, tf_kernel, output_shape=out_shape, strides=[1, *s, 1], padding="VALID"
     ).numpy()
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- export
+
+
+def test_export_roundtrip_every_convention(tmp_path):
+    """core/tf1_export writes reference-named checkpoints: every naming
+    convention (tf.layers, slim, BN, deconv layout, resnet unit scopes,
+    VGGish repeat scopes, VAE heads) round-trips export -> real TF
+    checkpoint -> tf1_import strict-merge back to the original values."""
+    from acoustic_image_generation_tpu.core.tf1_export import (
+        export_scope,
+        save_tf1_checkpoint,
+    )
+
+    rng = np.random.default_rng(1)
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32)
+
+    unet_params = {
+        "layer1": {
+            "conv_1": {"kernel": f32(3, 3, 12, 128), "bias": f32(128)},
+            "bn_1": {"scale": f32(128), "bias": f32(128)},
+        },
+        "upsample_1": {"kernel": f32(2, 2, 256, 128)},  # flax HWIO (in=256)
+        "dense": {"kernel": f32(150, 2304), "bias": f32(2304)},
+        "vae": {"mean": {"kernel": f32(12, 16, 133, 150), "bias": f32(150)}},
+        "conv_dec": {"kernel": f32(3, 3, 150, 133), "bias": f32(133)},
+    }
+    unet_stats = {"layer1": {"bn_1": {"mean": f32(128), "var": np.abs(f32(128))}}}
+    resnet_params = {
+        "conv1": {  # fixed-pad root conv: bare kernel + BN (slim names)
+            "kernel": f32(7, 7, 3, 64),
+            "BatchNorm": {"scale": f32(64), "bias": f32(64)},
+        },
+        "block2_unit_4": {
+            "conv1": {
+                "conv": {"kernel": f32(1, 1, 256, 128)},  # _ConvBN wrapper
+                "BatchNorm": {"scale": f32(128), "bias": f32(128)},
+            }
+        },
+    }
+    resnet_stats = {
+        "conv1": {"BatchNorm": {"mean": f32(64), "var": np.abs(f32(64))}}
+    }
+    vggish_params = {"conv3_1": {"kernel": f32(3, 3, 128, 256), "bias": f32(256)}}
+    dualcam_params = {"full1": {"kernel": f32(128, 1000), "bias": f32(1000)}}
+
+    tensors = export_scope(
+        {"params": unet_params, "batch_stats": unet_stats}, "UNetAcRes"
+    )
+    tensors.update(
+        export_scope(
+            {"params": resnet_params, "batch_stats": resnet_stats},
+            "resnet_v1_50",
+            slim=True,
+        )
+    )
+    tensors.update(export_scope({"params": vggish_params}, "vggish", slim=True))
+    tensors.update(export_scope({"params": dualcam_params}, "DualCamNet", slim=True))
+
+    path = save_tf1_checkpoint(str(tmp_path / "exported.ckpt"), tensors, global_step=5)
+    ckpt = load_tf1_checkpoint(path)
+
+    # the exact names the reference's tf.train.Saver would have written
+    expected = {
+        "UNetAcRes/layer1/conv_1/kernel",
+        "UNetAcRes/layer1/conv_1/bias",
+        "UNetAcRes/layer1/bn_1/gamma",
+        "UNetAcRes/layer1/bn_1/beta",
+        "UNetAcRes/layer1/bn_1/moving_mean",
+        "UNetAcRes/layer1/bn_1/moving_variance",
+        "UNetAcRes/upsample_1/kernel",
+        "UNetAcRes/dense/kernel",
+        "UNetAcRes/dense/bias",
+        "UNetAcRes/mean/kernel",
+        "UNetAcRes/mean/bias",
+        "UNetAcRes/conv2d/kernel",
+        "UNetAcRes/conv2d/bias",
+        "resnet_v1_50/conv1/weights",
+        "resnet_v1_50/conv1/BatchNorm/gamma",
+        "resnet_v1_50/conv1/BatchNorm/beta",
+        "resnet_v1_50/conv1/BatchNorm/moving_mean",
+        "resnet_v1_50/conv1/BatchNorm/moving_variance",
+        "resnet_v1_50/block2/unit_4/bottleneck_v1/conv1/weights",
+        "resnet_v1_50/block2/unit_4/bottleneck_v1/conv1/BatchNorm/gamma",
+        "resnet_v1_50/block2/unit_4/bottleneck_v1/conv1/BatchNorm/beta",
+        "vggish/conv3/conv3_1/weights",
+        "vggish/conv3/conv3_1/biases",
+        "DualCamNet/full1/weights",
+        "DualCamNet/full1/biases",
+        "global_step",
+    }
+    assert expected <= set(ckpt)
+    # deconv kernels stored in TF's (kh, kw, out, in) layout
+    assert ckpt["UNetAcRes/upsample_1/kernel"].shape == (2, 2, 128, 256)
+    assert int(ckpt["global_step"]) == 5
+
+    # round-trip through the importer, strict against the original trees
+    p, s = import_scope(ckpt, "UNetAcRes")
+    assert_trees_equal(merge_into(unet_params, p, strict=True), unet_params)
+    assert_trees_equal(merge_into(unet_stats, s, strict=True), unet_stats)
+    p, s = import_scope(ckpt, "resnet_v1_50")
+    assert_trees_equal(merge_into(resnet_params, p, strict=True), resnet_params)
+    assert_trees_equal(merge_into(resnet_stats, s, strict=True), resnet_stats)
+    p, _ = import_scope(ckpt, "vggish")
+    assert_trees_equal(merge_into(vggish_params, p, strict=True), vggish_params)
+    p, _ = import_scope(ckpt, "DualCamNet")
+    assert_trees_equal(merge_into(dualcam_params, p, strict=True), dualcam_params)
+
+
+def assert_trees_equal(a, b):
+    import jax
+
+    same = jax.tree_util.tree_map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)), a, b
+    )
+    assert jax.tree_util.tree_all(same), same
+
+
+def test_export_real_model_roundtrip(tmp_path):
+    """A real flax model's init variables survive export -> TF checkpoint
+    -> import bit-for-bit (UNetAcoustic: convs, BN-less pools, VAE head,
+    the unnamed decoder conv, deconv layout)."""
+    import jax
+
+    from acoustic_image_generation_tpu.core.tf1_export import (
+        export_scope,
+        save_tf1_checkpoint,
+    )
+    from acoustic_image_generation_tpu.models import UNetAcoustic
+
+    x = np.zeros((1, 36, 48, 12), np.float32)
+    model = UNetAcoustic()
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x
+    )
+    tensors = export_scope({"params": variables["params"]}, "UNetAcoustic")
+    path = save_tf1_checkpoint(str(tmp_path / "unetac.ckpt"), tensors)
+
+    ckpt = load_tf1_checkpoint(path)
+    params, _ = import_scope(ckpt, "UNetAcoustic")
+    merged = merge_into(variables["params"], params, strict=True)
+    assert_trees_equal(merged, variables["params"])
+
+
+def test_export_generation_checkpoint_wiring(tmp_path):
+    """The flagship convenience writes one checkpoint with both reference
+    scopes (UNetAcRes tf.layers names + resnet_v1_50 slim names) and the
+    reference's global_step convention (= epoch counter,
+    trainer/trainer.py:250)."""
+    from acoustic_image_generation_tpu.core.tf1_export import (
+        export_generation_checkpoint,
+    )
+
+    rng = np.random.default_rng(2)
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32)
+    params = {
+        "generator": {"layer1": {"conv_1": {"kernel": f32(3, 3, 12, 128),
+                                            "bias": f32(128)}}},
+        "resnet": {"conv1": {"kernel": f32(7, 7, 3, 64),
+                             "BatchNorm": {"scale": f32(64), "bias": f32(64)}}},
+    }
+    stats = {"resnet": {"conv1": {"BatchNorm": {"mean": f32(64),
+                                                "var": np.abs(f32(64))}}}}
+    path = export_generation_checkpoint(
+        params, stats, str(tmp_path / "flagship.ckpt"), global_step=9
+    )
+    ckpt = load_tf1_checkpoint(path)
+    assert "UNetAcRes/layer1/conv_1/kernel" in ckpt
+    assert "resnet_v1_50/conv1/weights" in ckpt
+    assert "resnet_v1_50/conv1/BatchNorm/moving_variance" in ckpt
+    assert int(ckpt["global_step"]) == 9
