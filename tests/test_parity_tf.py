@@ -1166,3 +1166,46 @@ def test_unet_video_skip_matches_tf_checkpoint(tmp_path):
     )
     assert got.output.shape == tf_out.shape == (1, 224, 298, 3)
     np.testing.assert_allclose(np.asarray(got.output), tf_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_exported_flagship_restores_in_reference_graph(tmp_path):
+    """The reverse direction of the parity contract: a model trained HERE
+    exports (core/tf1_export) to a checkpoint the reference's OWN graph
+    restores via tf.train.Saver — which hard-fails on any missing/renamed/
+    mis-shaped variable — and the restored TF forward matches our forward."""
+    from acoustic_image_generation_tpu.core.tf1_export import (
+        export_scope,
+        save_tf1_checkpoint,
+    )
+    from acoustic_image_generation_tpu.models import UNetAcResNet
+
+    rng = np.random.default_rng(7)
+    mfccmap_np = rng.random((2, 36, 48, 12)).astype(np.float32)
+    feat_np = rng.random((2, 12, 16, 12)).astype(np.float32)
+
+    model = UNetAcResNet(skips=1)
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)},
+        mfccmap_np[:1], feat_np[:1],
+    )
+    ours = model.apply({"params": variables["params"]}, mfccmap_np, feat_np,
+                       sample=False)
+
+    ckpt_path = save_tf1_checkpoint(
+        str(tmp_path / "exported_acres.ckpt"),
+        export_scope({"params": variables["params"]}, "UNetAcRes"),
+    )
+
+    with tf.Graph().as_default():
+        mfccmap = v1.placeholder(tf.float32, (None, 36, 48, 12))
+        feat = v1.placeholder(tf.float32, (None, 12, 16, 12))
+        out = _build_tf_unet_acres(mfccmap, feat)
+        with v1.Session() as sess:
+            # default var_list = every variable in the reference graph:
+            # restore() raises NotFoundError if the export missed one
+            v1.train.Saver().restore(sess, ckpt_path)
+            tf_out = sess.run(out, {mfccmap: mfccmap_np, feat: feat_np})
+
+    np.testing.assert_allclose(np.asarray(ours.output), tf_out, rtol=2e-4,
+                               atol=2e-5)
