@@ -330,10 +330,11 @@ def cmd_show_video(args) -> int:
 
 
 def cmd_export_tf1(args) -> int:
-    """Export a trained flagship (GenerationTask) checkpoint back to the
-    reference's TF1 format (core/tf1_export): the file restores in the
-    reference's own stack — mfcctrainer's per-scope init
-    (``/root/reference/trainer/mfcctrainer.py:185-225``) and its eval CLIs."""
+    """Export a trained checkpoint back to the reference's TF1 format
+    (core/tf1_export): flagship generator+trunk, embed/joint per-modality
+    VAEs, or DualCamNet — the file restores in the reference's own stack
+    (``/root/reference/trainer/mfcctrainer.py:185-225`` per-scope init,
+    its ``*_init_checkpoint`` warm starts, and its eval CLIs)."""
     import jax
 
     from acoustic_image_generation_tpu.cli.main import (
@@ -342,9 +343,7 @@ def cmd_export_tf1(args) -> int:
         make_loader,
         select_task,
     )
-    from acoustic_image_generation_tpu.core.tf1_export import (
-        export_generation_checkpoint,
-    )
+    from acoustic_image_generation_tpu.core.tf1_export import SCOPES, export_state
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
     main_args = main_parser().parse_args(_strip(args.train_flags))
@@ -357,10 +356,10 @@ def cmd_export_tf1(args) -> int:
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
     params = jax.device_get(state.params)
-    if "generator" not in params or "resnet" not in params:
-        print("export-tf1 needs the generation recipe (--embedding 1 --mfcc 1)")
-        return 2
-    out = export_generation_checkpoint(
+    skipped = sorted(set(params) - set(SCOPES))
+    if skipped:
+        print(f"skipping non-reference model keys: {skipped}")
+    out = export_state(
         params,
         jax.device_get(state.batch_stats),
         args.out_path,

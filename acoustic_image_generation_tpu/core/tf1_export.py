@@ -32,6 +32,18 @@ import numpy as np
 _REPEAT_UNIT = re.compile(r"^(conv3|conv4|fc1)_\d+$")
 _RESNET_BLOCK_UNIT = re.compile(r"^(block\d+)_(unit_\d+)$")
 
+# task param-tree key -> reference TF scope (shared with train/warmstart)
+SCOPES = {
+    "resnet": "resnet_v1_50",
+    "generator": "UNetAcRes",
+    "acoustic": "UNetAcoustic",
+    "audio": "UNetAudio",
+    "video": "UNet",
+    "dualcamnet": "DualCamNet",
+}
+# scopes whose variables use slim naming (weights/biases, BatchNorm/*)
+_SLIM_KEYS = {"resnet", "dualcamnet"}
+
 
 def _leaf_array(value) -> np.ndarray:
     arr = np.asarray(value)
@@ -150,23 +162,42 @@ def save_tf1_checkpoint(
             return saver.save(sess, path, write_meta_graph=False)
 
 
+def export_state(
+    params: dict,
+    batch_stats: dict | None,
+    path: str,
+    *,
+    global_step: int | None = None,
+) -> str:
+    """Export every recognized top-level model of a task's param tree to
+    ONE reference-named checkpoint: flagship generator+trunk (UNetAcRes +
+    resnet_v1_50, the scopes mfcctrainer restores,
+    ``/root/reference/trainer/mfcctrainer.py:185-225``), embed/joint
+    per-modality VAEs (UNetAcoustic/UNetAudio/UNet — the reference's
+    ``acoustic/audio/visual_init_checkpoint`` warm-start scopes), and
+    DualCamNet. Unrecognized keys (e.g. associators, whose reference
+    counterparts were never checkpoint-restored standalone) are skipped —
+    callers can report ``sorted(set(params) - set(SCOPES))``."""
+    stats = batch_stats or {}
+    known = [k for k in params if k in SCOPES]
+    if not known:
+        raise ValueError(f"no exportable model keys among {sorted(params)}")
+    tensors: dict[str, np.ndarray] = {}
+    for k in known:
+        tensors.update(
+            export_scope(
+                {"params": params[k], "batch_stats": stats.get(k)},
+                SCOPES[k],
+                slim=k in _SLIM_KEYS,
+            )
+        )
+    return save_tf1_checkpoint(path, tensors, global_step=global_step)
+
+
 def export_generation_checkpoint(
     params: dict, batch_stats: dict, path: str, *, global_step: int | None = None
 ) -> str:
-    """Export a trained flagship (GenerationTask) state as one checkpoint
-    the reference's mfcctrainer restore flow reads: UNetAcRes +
-    resnet_v1_50 scopes (``/root/reference/trainer/mfcctrainer.py:185-225``)."""
-    tensors = export_scope(
-        {"params": params["generator"],
-         "batch_stats": (batch_stats or {}).get("generator")},
-        "UNetAcRes",
-    )
-    tensors.update(
-        export_scope(
-            {"params": params["resnet"],
-             "batch_stats": (batch_stats or {}).get("resnet")},
-            "resnet_v1_50",
-            slim=True,
-        )
-    )
-    return save_tf1_checkpoint(path, tensors, global_step=global_step)
+    """Flagship (GenerationTask) convenience over :func:`export_state`."""
+    if "generator" not in params or "resnet" not in params:
+        raise ValueError("flagship export needs 'generator' and 'resnet' trees")
+    return export_state(params, batch_stats, path, global_step=global_step)

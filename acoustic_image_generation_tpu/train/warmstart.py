@@ -23,15 +23,9 @@ from acoustic_image_generation_tpu.core import tf1_import
 from acoustic_image_generation_tpu.core.config import ExperimentConfig
 from acoustic_image_generation_tpu.train.state import TrainState
 
-# model-key -> TF scope per modality (the reference's scope names)
-_SCOPES = {
-    "resnet": "resnet_v1_50",
-    "generator": "UNetAcRes",
-    "acoustic": "UNetAcoustic",
-    "audio": "UNetAudio",
-    "video": "UNet",
-    "dualcamnet": "DualCamNet",
-}
+# model-key -> TF scope per modality (the reference's scope names); one
+# map shared with the exporter so both directions stay in sync
+from acoustic_image_generation_tpu.core.tf1_export import SCOPES as _SCOPES
 
 
 def _is_tf_checkpoint(path: str) -> bool:

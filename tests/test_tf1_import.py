@@ -339,3 +339,31 @@ def test_export_generation_checkpoint_wiring(tmp_path):
     assert "resnet_v1_50/conv1/weights" in ckpt
     assert "resnet_v1_50/conv1/BatchNorm/moving_variance" in ckpt
     assert int(ckpt["global_step"]) == 9
+
+
+def test_export_state_embed_modalities(tmp_path):
+    """export_state writes the embed recipes' per-modality VAE scopes
+    (the reference's acoustic/audio/visual_init_checkpoint warm-start
+    format) and skips non-reference keys like associators."""
+    from acoustic_image_generation_tpu.core.tf1_export import export_state
+
+    rng = np.random.default_rng(3)
+    conv = lambda cin, cout: {
+        "kernel": rng.normal(size=(3, 3, cin, cout)).astype(np.float32),
+        "bias": rng.normal(size=(cout,)).astype(np.float32),
+    }
+    params = {
+        "acoustic": {"layer1": {"conv_1": conv(12, 128)}},
+        "audio": {"layer1": {"conv_1": conv(1, 16)}},
+        "video": {"layer1": {"conv_1": conv(3, 32)}},
+        "associator": {"dense": conv(8, 8)},  # no reference checkpoint scope
+    }
+    path = export_state(params, None, str(tmp_path / "embed.ckpt"))
+    ckpt = load_tf1_checkpoint(path)
+    assert "UNetAcoustic/layer1/conv_1/kernel" in ckpt
+    assert "UNetAudio/layer1/conv_1/kernel" in ckpt
+    assert "UNet/layer1/conv_1/kernel" in ckpt
+    assert not any("associator" in n.lower() for n in ckpt)
+
+    with pytest.raises(ValueError, match="no exportable"):
+        export_state({"associator": {}}, None, str(tmp_path / "x.ckpt"))
