@@ -45,8 +45,12 @@ def cmd_iou(args) -> int:
     task = select_task(config)
     trainer = Trainer(task, config)
     loader = make_loader(config, "testing")
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     import jax
 
     template = jax.device_get(trainer.init_state(first))
@@ -145,8 +149,12 @@ def cmd_extract(args) -> int:
     trainer = Trainer(task, config)
     loader = make_loader(config, {"training": "training", "validation": "validation",
                                   "testing": "testing"}[args.set])
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
 
@@ -268,8 +276,12 @@ def cmd_show(args) -> int:
     task = select_task(config)
     trainer = Trainer(task, config)
     loader = make_loader(config, "testing")
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     state = jax.device_get(trainer.init_state(first))
     state = trainer.restore(args.checkpoint, state)
 
@@ -318,8 +330,12 @@ def cmd_show_video(args) -> int:
     task = select_task(config)
     trainer = Trainer(task, config)
     loader = make_loader(config, "testing")
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     state = jax.device_get(trainer.init_state(first))
     state = trainer.restore(args.checkpoint, state)
     paths = render_video_overlays(
@@ -351,8 +367,12 @@ def cmd_export_tf1(args) -> int:
     task = select_task(config)
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
     params = jax.device_get(state.params)
@@ -393,8 +413,12 @@ def cmd_generate(args) -> int:
     assert hasattr(task, "generate"), "generate requires the generation recipe"
     trainer = Trainer(task, config)
     loader = make_loader(config, args.set)
+    first = None
     for first in loader.batches(0):
         break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
     # honor --trunk_quant int8 in the serving path too: one-time

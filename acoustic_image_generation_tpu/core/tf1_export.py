@@ -86,7 +86,13 @@ def export_scope(
         tensors[name] = _leaf_array(value)
 
     def walk_params(node: dict, parts: list[str]) -> None:
-        is_bn = "scale" in node and "kernel" not in node
+        # A BN param node holds {scale, bias} — and scale-less BNs
+        # (use_scale=False, e.g. the mean_std convention) are recognized
+        # by the module name so their offset still exports as 'beta'.
+        is_bn = "kernel" not in node and (
+            "scale" in node
+            or (parts and (parts[-1] == "BatchNorm" or parts[-1].startswith("bn_")))
+        )
         for k, v in node.items():
             if isinstance(v, dict):
                 walk_params(v, parts + [k])

@@ -30,6 +30,24 @@ def save_checkpoint(run_dir: str, name, state: TrainState) -> str:
     return path
 
 
+def save_resume_meta(ckpt_path: str, *, epoch: int, step_in_epoch: int) -> str:
+    """Sidecar for crash checkpoints: the exact position inside the epoch,
+    so Trainer.fit can resume at the interrupted batch without guessing the
+    original run's epoch geometry."""
+    path = ckpt_path + ".meta.json"
+    with open(path, "w") as f:
+        json.dump({"epoch": int(epoch), "step_in_epoch": int(step_in_epoch)}, f)
+    return path
+
+
+def load_resume_meta(ckpt_path: str) -> dict | None:
+    try:
+        with open(ckpt_path + ".meta.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into ``template`` (a freshly built state providing the pytree
     structure, like the reference's build-then-Saver.restore flow)."""

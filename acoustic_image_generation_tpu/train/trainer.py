@@ -481,9 +481,14 @@ class Trainer:
     def fit(self, train_loader, valid_loader, *, state: TrainState | None = None) -> TrainState:
         """Epoch loop. When resuming from a restored ``state``, epoch
         numbering continues from the step counter (the reference derives
-        start_epoch from global_step, ``trainer/trainer.py:250``); a state
-        saved mid-epoch (crash checkpoint) resumes at the exact batch it
-        stopped on, replaying the epoch's seeded order up to that point."""
+        start_epoch from global_step, ``trainer/trainer.py:250``). A crash
+        checkpoint (``interrupted_{N}`` + its ``.meta.json`` sidecar, read
+        by :meth:`restore`) resumes at the exact batch it stopped on,
+        replaying the epoch's seeded order up to that point — bit-exact
+        for the bf16/f32 recipes (int8-trunk runs re-calibrate activation
+        scales on the resumed epoch's data, so they resume in-family but
+        not bit-identical). Ordinary checkpoints keep the reference's
+        whole-epoch semantics."""
         cfg = self.cfg
         os.makedirs(self.run_dir, exist_ok=True)
         cfg.save(os.path.join(self.run_dir, "configuration.txt"))
@@ -511,26 +516,34 @@ class Trainer:
             assert first is not None, "empty training loader"
             state = self.init_state(first)
         else:
-            steps_per_epoch = max(
-                train_loader.num_windows // train_loader.batch_size, 1
-            )
-            step = int(jax.device_get(state.step))
-            start_epoch = step // steps_per_epoch
-            # Mid-epoch resume (e.g. from an interrupted_{N} crash
-            # checkpoint): the loader's per-epoch order is seeded, and the
-            # per-step RNGs key off ``state.step``, so skipping the batches
-            # the interrupted run already consumed continues the run
-            # bit-exactly. Skipped batches pay decode but no device time.
-            skip_steps = step % steps_per_epoch
+            resume_meta, self._resume_meta = getattr(self, "_resume_meta", None), None
+            if resume_meta is not None:
+                # Crash-checkpoint resume: the sidecar records the exact
+                # position, so no epoch-geometry guessing is involved. The
+                # loader's per-epoch order is seeded and the per-step RNGs
+                # key off ``state.step``, so skipping the batches the
+                # interrupted run already consumed continues it bit-exactly
+                # (skipped batches pay decode but no device time).
+                start_epoch = int(resume_meta["epoch"])
+                skip_steps = int(resume_meta["step_in_epoch"])
+            else:
+                steps_per_epoch = max(
+                    train_loader.num_windows // train_loader.batch_size, 1
+                )
+                start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
 
         for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
             t0 = time.time()
+            skip_target = skip_steps
             n_steps = 0
             last_metrics: dict = {}
             metrics = None
             try:
                 for raw_batch in train_loader.batches(epoch):
                     if skip_steps:
+                        # keep one-time derived state (int8 trunk
+                        # calibration) flowing even while replaying
+                        self._maybe_build_qtrunk(state, raw_batch)
                         skip_steps -= 1
                         continue
                     state, metrics = self.train_step(state, raw_batch)
@@ -544,8 +557,16 @@ class Trainer:
                     }
             except (KeyboardInterrupt, Exception):
                 # failure containment (SURVEY.md §5: the reference has none):
-                # persist the live state so the run is resumable, then re-raise
-                ckpt.save_checkpoint(self.run_dir, f"interrupted_{epoch}", state)
+                # persist the live state + exact epoch position so the run
+                # is resumable from the interrupted batch, then re-raise
+                path = ckpt.save_checkpoint(self.run_dir, f"interrupted_{epoch}", state)
+                ckpt.save_resume_meta(
+                    path,
+                    epoch=epoch,
+                    step_in_epoch=(skip_target - skip_steps) + n_steps,
+                )
+                if media_logger is not None:
+                    media_logger.close()
                 raise
             dt = time.time() - t0
             val = self.evaluate(state, valid_loader, epoch)
@@ -575,6 +596,8 @@ class Trainer:
                 ckpt.save_checkpoint(self.run_dir, epoch, state)
             if tracker.update(epoch, val_loss):
                 ckpt.save_checkpoint(self.run_dir, epoch, state)
+        if media_logger is not None:
+            media_logger.close()
         return state
 
     def _log_media(self, logger, state, valid_loader, epoch: int) -> None:
@@ -631,4 +654,7 @@ class Trainer:
         return ckpt.save_checkpoint(self.run_dir, name, state)
 
     def restore(self, path, template_state):
+        # crash checkpoints carry a .meta.json sidecar with the exact
+        # within-epoch position; fit() consumes it for mid-epoch resume
+        self._resume_meta = ckpt.load_resume_meta(path)
         return ckpt.restore_checkpoint(path, template_state)
