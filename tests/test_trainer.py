@@ -278,6 +278,50 @@ def test_midepoch_resume_reproduces_uninterrupted_run(tmp_path, tmp_path_factory
 
 
 @pytest.mark.slow
+def test_ordinary_checkpoint_resume_trains_full_epochs(tmp_path, tmp_path_factory):
+    """Restoring a NON-crash checkpoint into a run with different epoch
+    geometry (other dataset size) must keep the reference's whole-epoch
+    semantics: no batches are silently skipped. Only crash checkpoints
+    (which carry a .meta.json position sidecar) resume mid-epoch."""
+    import dataclasses
+
+    import jax
+
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+
+    out_a = tmp_path_factory.mktemp("acivw_a")
+    lists_a = write_synthetic_dataset(  # 8 windows -> 1 step/epoch at bs=8
+        str(out_a), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    out_b = tmp_path_factory.mktemp("acivw_b")
+    lists_b = write_synthetic_dataset(  # 24 windows -> 3 steps/epoch
+        str(out_b), num_classes=2, videos_per_class=3, seconds_per_video=4
+    )
+
+    cfg = make_config(tmp_path, encoder_type="Ac")
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, num_epochs=1)
+    )
+    tr_a = AcousticImageDataLoader(lists_a["training"], "training", 8)
+    va_a = AcousticImageDataLoader(lists_a["validation"], "validation", 8)
+    trainer = Trainer(ReconstructTask(cfg), cfg)
+    pre = trainer.fit(tr_a, va_a)
+    assert int(pre.step) == 1
+    path = ckpt_mod.save_checkpoint(trainer.run_dir, "pretrain", pre)
+
+    # fine-tune on the bigger dataset: all 3 batches of the epoch train
+    # (the old step % steps_per_epoch inference would have skipped 1)
+    tr_b = AcousticImageDataLoader(lists_b["training"], "training", 8)
+    va_b = AcousticImageDataLoader(lists_b["validation"], "validation", 8)
+    trainer2 = Trainer(ReconstructTask(cfg), cfg)
+    for first in tr_b.batches(0):
+        break
+    restored = trainer2.restore(path, trainer2.init_state(first))
+    tuned = trainer2.fit(tr_b, va_b, state=restored)
+    assert int(tuned.step) == 1 + 3
+
+
+@pytest.mark.slow
 def test_reconstruct_energy_step(tiny_dataset, tmp_path):
     """Energy-map recipe (encoder_type=Energy -> BN-less UNetEnergy on the
     min-max-normalized first acoustic channel): one sharded train step +
