@@ -43,12 +43,19 @@ import numpy as np
 
 BASELINE_CLIPS_PER_SEC_CHIP = 5000.0 / 8.0
 
+# >1 when the train bench shards over a device mesh: emitted numbers stay
+# per-chip so vs_baseline is comparable across hosts of any slice size
+_DP_DEVICES = 1
+
 
 def _emit(metric: str, clips_per_sec: float, *, unit: str = "clips/sec/chip",
           baseline: bool = True) -> None:
+    clips_per_sec = clips_per_sec / _DP_DEVICES
     rec = {"metric": metric, "value": round(clips_per_sec, 2), "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(clips_per_sec / BASELINE_CLIPS_PER_SEC_CHIP, 4)
+    if _DP_DEVICES > 1:
+        rec["devices"] = _DP_DEVICES
     print(json.dumps(rec))
 
 
@@ -61,6 +68,14 @@ def main() -> None:
         os.environ.get("AIG_JAX_CACHE", "/tmp/aig_jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    # AIG_BENCH_CPU_MESH=N: virtual N-device CPU mesh to exercise the DP
+    # path off-hardware (sitecustomize may pin jax_platforms, so the env
+    # vars alone are not enough — same fallback as __graft_entry__)
+    mesh_n = int(os.environ.get("AIG_BENCH_CPU_MESH", "0"))
+    if mesh_n:
+        jax.config.update("jax_num_cpu_devices", mesh_n)
+        jax.config.update("jax_platforms", "cpu")
 
     from acoustic_image_generation_tpu.core.config import (
         DataConfig,
@@ -156,6 +171,32 @@ def main() -> None:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt2 = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), new_stats, opt2, loss
+
+    # Data-parallel scale-out: with >1 device visible (a real v5e-N host,
+    # or the CPU mesh under xla_force_host_platform_device_count) the step
+    # shards the batch over all of them and all-reduces grads over ICI —
+    # the reported clips/sec then covers the whole slice. AIG_BENCH_DP=0
+    # pins the bench to single-device even on a pod.
+    n_dev = jax.device_count()
+    if n_dev > 1 and os.environ.get("AIG_BENCH_DP", "1") == "1":
+        from acoustic_image_generation_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+            replicated_sharding,
+        )
+
+        global _DP_DEVICES
+        _DP_DEVICES = n_dev
+        mesh = make_mesh(n_dev)
+        bsh, rep = batch_sharding(mesh), replicated_sharding(mesh)
+        acoustic, audio, video, action = (
+            jax.device_put(x, bsh) for x in (acoustic, audio, video, action)
+        )
+        params, batch_stats, opt_state = (
+            jax.device_put(x, rep) for x in (params, batch_stats, opt_state)
+        )
+        if qtrunk is not None:
+            qtrunk = jax.device_put(qtrunk, rep)
 
     feat = None
     if use_feat:
