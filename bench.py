@@ -91,8 +91,18 @@ def main() -> None:
     # 128-clip default: measured 1237.9 (64) / 1268.1 (128) cached
     # clips/sec/chip; 192 clips exhausts HBM alongside the device-resident
     # feature pool. 128 is the measured sweet spot on one v5e core.
-    clips = int(os.environ.get("AIG_BENCH_CLIPS", "128"))
+    # Full-trunk variants OOM at 128; their measured sweet spots differ:
+    # serving peaks at 96 (390.3 int8 / 251.2 bf16 vs 340.1 / 240.4 at
+    # 64), the uncached TRAIN step at 64 (bf16: 252 vs 239.9 at 96; int8
+    # batch-insensitive at ~349).
     mode = os.environ.get("AIG_BENCH_MODE", "train")  # train|infer|pipeline|scan
+    if mode == "infer":
+        default_clips = "96"
+    elif os.environ.get("AIG_BENCH_CACHE", "1") != "1":
+        default_clips = "64"
+    else:
+        default_clips = "128"
+    clips = int(os.environ.get("AIG_BENCH_CLIPS", default_clips))
     use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
     trunk_bn = os.environ.get("AIG_BENCH_TRUNK_BN", "frozen")  # frozen|train
     # AIG_BENCH_TRUNK_QUANT=int8: BN-folded W8A8 trunk (models/quant.py) —
