@@ -71,11 +71,23 @@ def main() -> None:
 
     # AIG_BENCH_CPU_MESH=N: virtual N-device CPU mesh to exercise the DP
     # path off-hardware (sitecustomize may pin jax_platforms, so the env
-    # vars alone are not enough — same fallback as __graft_entry__)
+    # vars alone are not enough — same fallback as __graft_entry__,
+    # including the raised XLA CPU collective rendezvous timeouts that a
+    # single-core host emulating N devices needs to survive)
     mesh_n = int(os.environ.get("AIG_BENCH_CPU_MESH", "0"))
     if mesh_n:
-        jax.config.update("jax_num_cpu_devices", mesh_n)
-        jax.config.update("jax_platforms", "cpu")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "collective_call_terminate_timeout" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+            ).strip()
+        try:
+            jax.config.update("jax_num_cpu_devices", mesh_n)
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. by the driver)
 
     from acoustic_image_generation_tpu.core.config import (
         DataConfig,
@@ -113,6 +125,17 @@ def main() -> None:
         return _pipeline_bench(clips)
     if mode == "ingest":
         return _ingest_bench(clips)
+
+    # Data-parallel scale-out (train/scan): with >1 device visible, WEAK
+    # scaling — every chip keeps its measured sweet-spot batch and the
+    # global batch grows by the device count, grads all-reduce over ICI.
+    # Emitted numbers are divided back to per-chip so vs_baseline stays
+    # comparable on any slice size. AIG_BENCH_DP=0 pins single-device.
+    global _DP_DEVICES
+    if mode in ("train", "scan") and os.environ.get("AIG_BENCH_DP", "1") == "1":
+        _DP_DEVICES = jax.device_count()
+    if _DP_DEVICES > 1:
+        clips *= _DP_DEVICES
 
     frames = 12 * clips
     rng = np.random.default_rng(0)
@@ -182,22 +205,16 @@ def main() -> None:
         updates, opt2 = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), new_stats, opt2, loss
 
-    # Data-parallel scale-out: with >1 device visible (a real v5e-N host,
-    # or the CPU mesh under xla_force_host_platform_device_count) the step
-    # shards the batch over all of them and all-reduces grads over ICI —
-    # the reported clips/sec then covers the whole slice. AIG_BENCH_DP=0
-    # pins the bench to single-device even on a pod.
-    n_dev = jax.device_count()
-    if n_dev > 1 and os.environ.get("AIG_BENCH_DP", "1") == "1":
+    # materialize the DP layout decided above: batch sharded over the
+    # mesh, params/optimizer replicated
+    if _DP_DEVICES > 1:
         from acoustic_image_generation_tpu.parallel import (
             batch_sharding,
             make_mesh,
             replicated_sharding,
         )
 
-        global _DP_DEVICES
-        _DP_DEVICES = n_dev
-        mesh = make_mesh(n_dev)
+        mesh = make_mesh(_DP_DEVICES)
         bsh, rep = batch_sharding(mesh), replicated_sharding(mesh)
         acoustic, audio, video, action = (
             jax.device_put(x, bsh) for x in (acoustic, audio, video, action)
@@ -404,6 +421,13 @@ def _pipeline_bench(clips: int) -> None:
     from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
     from acoustic_image_generation_tpu.train.generation import GenerationTask
     from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    # the Trainer meshes over every visible device: weak-scale the global
+    # batch and normalize the emitted number back to per-chip, matching
+    # the train/scan modes
+    global _DP_DEVICES
+    _DP_DEVICES = jax.device_count()
+    clips *= _DP_DEVICES
 
     use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
     tmp = "/tmp/aig_bench_data_v1"
