@@ -1,8 +1,11 @@
 """Embedding study on the REAL TPU: train the 3-VAE triplet recipe
 (trainer_three) on the synthetic benchmark, export per-modality latents,
 and run the kNN + cross-modal retrieval evaluations."""
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
 import time
 from functools import partial
 

@@ -3,8 +3,11 @@ on the synthetic localization benchmark, then evaluate everything the
 reference measures — reconstruction MSE, IoU/AUC localization, and
 classify-generated accuracy (saveimagesresnet protocol). Data lives on
 device; only tiny index arrays cross the tunnel per step."""
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
 import tempfile
 import time
 

@@ -22,8 +22,11 @@ load-bearing, closing the docs/RESULTS.md finding.
 Env knobs: AIG_WS_SEED, AIG_WS_PRETRAIN_EPOCHS (default 300),
 AIG_WS_EPOCHS (flagship epochs, default 1000).
 """
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
 import time
 from functools import partial
 
