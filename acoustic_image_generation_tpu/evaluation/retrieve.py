@@ -22,20 +22,23 @@ def retrieval_ranks(
     anchor_labels = np.asarray(anchor_labels)
     gallery_labels = np.asarray(gallery_labels)
 
-    d = (
-        np.sum(anchors**2, 1)[:, None]
-        - 2.0 * anchors @ gallery.T
-        + np.sum(gallery**2, 1)[None, :]
-    )
-    order = np.argsort(d, axis=1, kind="stable")
+    # only the top max(RANKS) gallery labels matter per anchor; chunked
+    # over anchors so the working set stays chunk x N_gallery
+    top = max(RANKS)
+    gal_sq = np.sum(gallery**2, 1)[None, :]
     hits = {k: 0 for k in RANKS}
     confusion1 = np.zeros((num_classes, num_classes), dtype=float)
-    for a in range(len(anchors)):
-        ranked = gallery_labels[order[a]]
-        confusion1[anchor_labels[a], ranked[0]] += 1
-        for k in RANKS:
-            if anchor_labels[a] in ranked[:k]:
-                hits[k] += 1
+    chunk = 2048
+    for lo in range(0, len(anchors), chunk):
+        ax = anchors[lo:lo + chunk]
+        d = np.sum(ax**2, 1)[:, None] - 2.0 * ax @ gallery.T + gal_sq
+        order = np.argsort(d, axis=1, kind="stable")[:, :top]
+        for a in range(len(ax)):
+            ranked = gallery_labels[order[a]]
+            confusion1[anchor_labels[lo + a], ranked[0]] += 1
+            for k in RANKS:
+                if anchor_labels[lo + a] in ranked[:k]:
+                    hits[k] += 1
     n = max(len(anchors), 1)
     out = {f"rank{k}": hits[k] / n for k in RANKS}
     out["confusion_rank1"] = confusion1

@@ -145,3 +145,34 @@ def test_energy_map_bf16_inputs():
     )
     assert np.all(f32 == 1.0)
     assert np.all(bf16 > 0.9)
+
+
+def test_knn_and_retrieval_chunking_equivalence():
+    """The chunked distance paths (working set chunk x N instead of the
+    full N x N — needed at real-ACIVW scale) give identical results to a
+    single-block computation."""
+    rng = np.random.default_rng(11)
+    tr_x = rng.normal(size=(200, 16)).astype(np.float32)
+    tr_y = rng.integers(0, 4, 200)
+    te_x = rng.normal(size=(150, 16)).astype(np.float32)
+    te_y = rng.integers(0, 4, 150)
+
+    one_block = knn_accuracy(tr_x, tr_y, te_x, te_y, k=5, chunk=10_000)
+    chunked = knn_accuracy(tr_x, tr_y, te_x, te_y, k=5, chunk=7)
+    assert one_block == chunked
+
+    a = retrieval_ranks(te_x, te_y, tr_x, tr_y, num_classes=4)
+    # retrieval chunk is fixed at 2048 (> N here): re-derive with a tiny
+    # chunk by monkeypatching is overkill — instead check the top-k
+    # truncation against a full-order reference computed inline
+    d = (
+        np.sum(te_x**2, 1)[:, None]
+        - 2.0 * te_x @ tr_x.T
+        + np.sum(tr_x**2, 1)[None, :]
+    )
+    order = np.argsort(d, axis=1, kind="stable")
+    for k in (1, 2, 5, 10, 30):
+        want = np.mean([
+            te_y[i] in tr_y[order[i, :k]] for i in range(len(te_y))
+        ])
+        assert a[f"rank{k}"] == want
