@@ -16,24 +16,27 @@ def retrieval_ranks(
     gallery: np.ndarray,
     gallery_labels: np.ndarray,
     num_classes: int,
+    *,
+    chunk: int = 2048,
 ) -> dict:
-    anchors = np.reshape(np.asarray(anchors), (len(anchors), -1)).astype(np.float32)
-    gallery = np.reshape(np.asarray(gallery), (len(gallery), -1)).astype(np.float32)
+    from acoustic_image_generation_tpu.evaluation.distance import (
+        as_feature_matrix,
+        iter_sq_distance_blocks,
+    )
+
+    anchors = as_feature_matrix(anchors)
+    gallery = as_feature_matrix(gallery)
     anchor_labels = np.asarray(anchor_labels)
     gallery_labels = np.asarray(gallery_labels)
 
     # only the top max(RANKS) gallery labels matter per anchor; chunked
     # over anchors so the working set stays chunk x N_gallery
     top = max(RANKS)
-    gal_sq = np.sum(gallery**2, 1)[None, :]
     hits = {k: 0 for k in RANKS}
     confusion1 = np.zeros((num_classes, num_classes), dtype=float)
-    chunk = 2048
-    for lo in range(0, len(anchors), chunk):
-        ax = anchors[lo:lo + chunk]
-        d = np.sum(ax**2, 1)[:, None] - 2.0 * ax @ gallery.T + gal_sq
+    for lo, d in iter_sq_distance_blocks(anchors, gallery, chunk):
         order = np.argsort(d, axis=1, kind="stable")[:, :top]
-        for a in range(len(ax)):
+        for a in range(len(order)):
             ranked = gallery_labels[order[a]]
             confusion1[anchor_labels[lo + a], ranked[0]] += 1
             for k in RANKS:

@@ -2,9 +2,8 @@
 (trainer_three) on the synthetic benchmark, export per-modality latents,
 and run the kNN + cross-modal retrieval evaluations."""
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import json
 import time
 from functools import partial

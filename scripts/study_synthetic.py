@@ -4,9 +4,8 @@ reference measures — reconstruction MSE, IoU/AUC localization, and
 classify-generated accuracy (saveimagesresnet protocol). Data lives on
 device; only tiny index arrays cross the tunnel per step."""
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import json
 import tempfile
 import time

@@ -23,9 +23,8 @@ Env knobs: AIG_WS_SEED, AIG_WS_PRETRAIN_EPOCHS (default 300),
 AIG_WS_EPOCHS (flagship epochs, default 1000).
 """
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import json
 import time
 from functools import partial

@@ -15,8 +15,9 @@ import os
 import subprocess
 import sys
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
+
 here = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, os.path.dirname(here))
 
 SEEDS = [int(s) for s in os.environ.get("AIG_SWEEP_SEEDS", "0,1,2,3,4").split(",")]
 EPOCHS = int(os.environ.get("AIG_EMBED_EPOCHS", "120"))

@@ -162,9 +162,12 @@ def test_knn_and_retrieval_chunking_equivalence():
     assert one_block == chunked
 
     a = retrieval_ranks(te_x, te_y, tr_x, tr_y, num_classes=4)
-    # retrieval chunk is fixed at 2048 (> N here): re-derive with a tiny
-    # chunk by monkeypatching is overkill — instead check the top-k
-    # truncation against a full-order reference computed inline
+    a_chunked = retrieval_ranks(te_x, te_y, tr_x, tr_y, num_classes=4, chunk=7)
+    # multi-chunk path (crosses many block boundaries) matches one block
+    for k in (1, 2, 5, 10, 30):
+        assert a[f"rank{k}"] == a_chunked[f"rank{k}"]
+    np.testing.assert_array_equal(a["confusion_rank1"], a_chunked["confusion_rank1"])
+    # and both match a full-order reference computed independently inline
     d = (
         np.sum(te_x**2, 1)[:, None]
         - 2.0 * te_x @ tr_x.T
