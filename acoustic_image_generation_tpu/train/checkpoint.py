@@ -11,12 +11,14 @@ restorable into a freshly initialized state of identical structure.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import json
 import os
 from datetime import datetime
 
 import flax.serialization
 import jax
+import jax.numpy as jnp
 
 from acoustic_image_generation_tpu.train.state import TrainState
 
@@ -28,6 +30,54 @@ def save_checkpoint(run_dir: str, name, state: TrainState) -> str:
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(state))
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint IO with training (the reference's Saver.save
+    blocks the epoch loop; here the device->host gather + msgpack + file
+    write run on a background thread).
+
+    Donation-safe by construction: ``save`` first snapshots the state into
+    fresh device buffers (an on-device copy, dispatched asynchronously —
+    microseconds of host time), so the epoch loop is free to donate the
+    original buffers to the next train step while the writer thread
+    gathers the snapshot. One save is in flight at a time; a second
+    ``save`` first waits for (and surfaces errors from) the previous one.
+    ``close()`` makes every accepted save durable — call it before
+    restoring or returning."""
+
+    def __init__(self) -> None:
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="aig-ckpt"
+        )
+        self._pending: cf.Future | None = None
+
+    def save(self, run_dir: str, name, state: TrainState) -> str:
+        snapshot = jax.tree_util.tree_map(jnp.copy, state)
+        self.wait()
+        os.makedirs(run_dir, exist_ok=True)
+        path = os.path.join(run_dir, f"epoch_{name}.ckpt")
+
+        def _write() -> None:
+            host = jax.device_get(snapshot)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(flax.serialization.to_bytes(host))
+            os.replace(tmp, path)  # a checkpoint file is never half-written
+
+        self._pending = self._pool.submit(_write)
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable; re-raises
+        any writer-thread error."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown()
 
 
 def save_resume_meta(ckpt_path: str, *, epoch: int, step_in_epoch: int) -> str:

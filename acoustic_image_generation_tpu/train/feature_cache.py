@@ -19,6 +19,15 @@ fit keep taking the full-trunk path, so the cache degrades gracefully to
 round-1 behavior. Features are stored in bfloat16 (1.09 MB/frame at
 14x19x2048) — half the f32 footprint, exactly the dtype the head
 consumes on TPU.
+
+Window ids are loader-local indices, so each loader needs its own cache:
+the Trainer keeps one for the training loader plus a per-eval-loader map
+(validation features are just as reusable across the per-epoch
+validations of a 50-100-epoch recipe). Validity rests on the frozen-trunk
+invariant — with ``freeze_trunk`` + ``trunk_bn="frozen"`` neither trunk
+params nor trunk BN stats ever change within a Trainer's lifetime, which
+``tests/test_trainer.py::test_trunk_bn_frozen_disables_stat_updates``
+pins.
 """
 
 from __future__ import annotations

@@ -219,11 +219,16 @@ class GenerationTask:
 
     # ------------------------------------------------------------------ eval
 
-    def eval_losses(self, params, batch_stats, batch: Batch, rngs, qtrunk=None):
+    def eval_losses(
+        self, params, batch_stats, batch: Batch, rngs, qtrunk=None, trunk_feat=None
+    ):
         """Per-frame loss vectors for size-weighted accumulation
-        (mfcctrainer.py:411-442) + per-3-channel test MSEs (:105-117)."""
+        (mfcctrainer.py:411-442) + per-3-channel test MSEs (:105-117).
+        ``trunk_feat`` bypasses the frozen trunk like the cached train
+        step (the validation set's features are just as cacheable)."""
         out, _ = self._forward(
-            params, batch_stats, batch, rngs, train=False, qtrunk=qtrunk
+            params, batch_stats, batch, rngs, train=False, qtrunk=qtrunk,
+            trunk_feat=trunk_feat,
         )
         recon = out.output.astype(jnp.float32)
         err = jnp.square(recon - batch.acoustic)

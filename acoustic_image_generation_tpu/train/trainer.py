@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import time
+import weakref
 from datetime import datetime
 
 import jax
@@ -117,6 +118,11 @@ class Trainer:
             )
 
             self.feature_cache = TrunkFeatureCache()
+            # Validation/test features are just as cacheable as training
+            # ones (same frozen trunk), but window ids are loader-local
+            # indices — so each eval loader gets its own cache, keyed by
+            # the loader object itself (lifetime-tied via weakref).
+            self._eval_caches = weakref.WeakKeyDictionary()
             self._trunk_features = jax.jit(self._trunk_features_impl)
             self._train_step_cached = jax.jit(
                 self._train_step_cached_impl, donate_argnums=(0,)
@@ -325,10 +331,14 @@ class Trainer:
             state, raw, feat.reshape(-1, *feat.shape[2:])
         )
 
-    def _eval_step_impl(self, state: TrainState, raw: dict, key, qtrunk=None):
+    def _eval_step_impl(
+        self, state: TrainState, raw: dict, key, qtrunk=None, trunk_feat=None
+    ):
         batch = self._prepare(raw, key=key, train=False)
         rngs = {"latent": key, "dropout": key, "moddrop": key}
         kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
+        if trunk_feat is not None:
+            kw = {"trunk_feat": trunk_feat}
         losses, _ = self.task.eval_losses(
             state.params, state.batch_stats, batch, rngs, **kw
         )
@@ -442,6 +452,32 @@ class Trainer:
             feat = jax.device_put(feat, self._batch_sharding)
         return self._train_step_cached(state, raw, feat)
 
+    def _eval_features(self, state, raw_batch, cache):
+        """Trunk features for an eval batch: gathered from the loader's
+        host-tier cache, or computed once and persisted (the HBM pool is
+        reserved for training windows). Returns a device array with the
+        batch sharding."""
+        from acoustic_image_generation_tpu.train import feature_cache as fc
+
+        feat = fc.gather_batch(cache, raw_batch.window_ids, raw_batch.valid)
+        if feat is not None:
+            return jax.device_put(feat, self._batch_sharding)
+        video = jax.device_put(raw_batch.video, self._batch_sharding)
+        feat = self._trunk_features(state, video, self._qtrunk)
+        f = raw_batch.frames
+        host = None
+        for i in range(raw_batch.valid):
+            wid = int(raw_batch.window_ids[i])
+            if wid in cache:
+                continue
+            if host is None:
+                host = np.asarray(jax.device_get(feat))
+            # copy: a view would pin the whole batch array in RAM
+            row = np.ascontiguousarray(host[i * f : (i + 1) * f])
+            if not cache.put(wid, row):
+                break  # budget exhausted; later epochs recompute these
+        return feat
+
     def _cached_raw(self, raw_batch) -> dict:
         """Batch upload for the cached step: the trunk never runs, so ship
         a 1x1 dummy video (drops the upload from ~150 MB to bytes)."""
@@ -461,14 +497,32 @@ class Trainer:
         """Size-weighted mean eval losses (trainer/*.py ``_evaluate``).
 
         Sums stay on device until the end so batches pipeline (a per-batch
-        value fetch costs a full sync on tunneled TPUs)."""
+        value fetch costs a full sync on tunneled TPUs). With the frozen-
+        trunk feature cache on, validation rides it too: each eval loader
+        gets its own host-tier cache (window ids are loader-local), so
+        per-epoch validation over a 50-100-epoch recipe pays the trunk
+        once, not once per epoch."""
         sums: dict = {}
         count = None
+        cache = None
+        if self.feature_cache is not None and jax.process_count() == 1:
+            from acoustic_image_generation_tpu.train.feature_cache import (
+                TrunkFeatureCache,
+            )
+
+            cache = self._eval_caches.get(loader)
+            if cache is None:
+                cache = self._eval_caches[loader] = TrunkFeatureCache(8 << 30)
         for i, raw_batch in enumerate(loader.batches(epoch)):
             self._maybe_build_qtrunk(state, raw_batch)
-            raw = self.device_batch(raw_batch)
             key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
-            batch_sums, n = self._eval_step(state, raw, key, self._qtrunk)
+            if cache is not None and getattr(raw_batch, "window_ids", None) is not None:
+                feat = self._eval_features(state, raw_batch, cache)
+                raw = self._cached_raw(raw_batch)
+                batch_sums, n = self._eval_step(state, raw, key, None, feat)
+            else:
+                raw = self.device_batch(raw_batch)
+                batch_sums, n = self._eval_step(state, raw, key, self._qtrunk)
             for k, v in batch_sums.items():
                 sums[k] = v if k not in sums else sums[k] + v
             count = n if count is None else count + n
@@ -532,72 +586,79 @@ class Trainer:
                 )
                 start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
 
-        for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
-            t0 = time.time()
-            skip_target = skip_steps
-            n_steps = 0
-            last_metrics: dict = {}
-            metrics = None
-            try:
-                for raw_batch in train_loader.batches(epoch):
-                    if skip_steps:
-                        # keep one-time derived state (int8 trunk
-                        # calibration) flowing even while replaying
-                        self._maybe_build_qtrunk(state, raw_batch)
-                        skip_steps -= 1
-                        continue
-                    state, metrics = self.train_step(state, raw_batch)
-                    n_steps += 1
-                # fetch once per epoch: pulling metric VALUES per step forces
-                # a device sync each step (very costly on tunneled TPUs);
-                # keeping them as device arrays lets steps pipeline
-                if metrics is not None:
-                    last_metrics = {
-                        k: float(v) for k, v in jax.device_get(metrics).items()
+        # snapshot checkpoints write on a background thread so the epoch
+        # loop never blocks on device->host gather + file IO; closed (=
+        # made durable) before fit returns or re-raises
+        saver = ckpt.AsyncCheckpointer()
+        try:
+            for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
+                t0 = time.time()
+                skip_target = skip_steps
+                n_steps = 0
+                last_metrics: dict = {}
+                metrics = None
+                try:
+                    for raw_batch in train_loader.batches(epoch):
+                        if skip_steps:
+                            # keep one-time derived state (int8 trunk
+                            # calibration) flowing even while replaying
+                            self._maybe_build_qtrunk(state, raw_batch)
+                            skip_steps -= 1
+                            continue
+                        state, metrics = self.train_step(state, raw_batch)
+                        n_steps += 1
+                    # fetch once per epoch: pulling metric VALUES per step
+                    # forces a device sync each step (very costly on
+                    # tunneled TPUs); device arrays let steps pipeline
+                    if metrics is not None:
+                        last_metrics = {
+                            k: float(v) for k, v in jax.device_get(metrics).items()
+                        }
+                except (KeyboardInterrupt, Exception):
+                    # failure containment (SURVEY.md §5: the reference has
+                    # none): persist the live state + exact epoch position
+                    # so the run is resumable from the interrupted batch
+                    # (synchronously — this process may be dying)
+                    path = ckpt.save_checkpoint(
+                        self.run_dir, f"interrupted_{epoch}", state
+                    )
+                    ckpt.save_resume_meta(
+                        path,
+                        epoch=epoch,
+                        step_in_epoch=(skip_target - skip_steps) + n_steps,
+                    )
+                    raise
+                dt = time.time() - t0
+                val = self.evaluate(state, valid_loader, epoch)
+                val_loss = val[self.task.eval_metric]
+                clips_per_sec = n_steps * train_loader.batch_size / max(dt, 1e-9)
+                metrics_log.write(
+                    {
+                        "epoch": epoch,
+                        "train": last_metrics,
+                        "valid": val,
+                        "steps": n_steps,
+                        "seconds": dt,
+                        "clips_per_sec": clips_per_sec,
                     }
-            except (KeyboardInterrupt, Exception):
-                # failure containment (SURVEY.md §5: the reference has none):
-                # persist the live state + exact epoch position so the run
-                # is resumable from the interrupted batch, then re-raise
-                path = ckpt.save_checkpoint(self.run_dir, f"interrupted_{epoch}", state)
-                ckpt.save_resume_meta(
-                    path,
-                    epoch=epoch,
-                    step_in_epoch=(skip_target - skip_steps) + n_steps,
+                )
+                print(
+                    f"{datetime.now()}: {cfg.run.exp_name} - Epoch: {epoch}\t"
+                    f"Validation_{self.task.eval_metric}_Loss: {val_loss:6f}\t"
+                    f"({clips_per_sec:.1f} clips/s)"
                 )
                 if media_logger is not None:
-                    media_logger.close()
-                raise
-            dt = time.time() - t0
-            val = self.evaluate(state, valid_loader, epoch)
-            val_loss = val[self.task.eval_metric]
-            clips_per_sec = n_steps * train_loader.batch_size / max(dt, 1e-9)
-            metrics_log.write(
-                {
-                    "epoch": epoch,
-                    "train": last_metrics,
-                    "valid": val,
-                    "steps": n_steps,
-                    "seconds": dt,
-                    "clips_per_sec": clips_per_sec,
-                }
-            )
-            print(
-                f"{datetime.now()}: {cfg.run.exp_name} - Epoch: {epoch}\t"
-                f"Validation_{self.task.eval_metric}_Loss: {val_loss:6f}\t"
-                f"({clips_per_sec:.1f} clips/s)"
-            )
+                    media_logger.log_scalars(
+                        {f"valid/{k}": v for k, v in val.items()}, epoch
+                    )
+                    self._log_media(media_logger, state, valid_loader, epoch)
+                is_best = tracker.update(epoch, val_loss)
+                if epoch % 10 == 0 or is_best:
+                    saver.save(self.run_dir, epoch, state)
+        finally:
+            saver.close()
             if media_logger is not None:
-                media_logger.log_scalars(
-                    {f"valid/{k}": v for k, v in val.items()}, epoch
-                )
-                self._log_media(media_logger, state, valid_loader, epoch)
-            if epoch % 10 == 0:
-                ckpt.save_checkpoint(self.run_dir, epoch, state)
-            if tracker.update(epoch, val_loss):
-                ckpt.save_checkpoint(self.run_dir, epoch, state)
-        if media_logger is not None:
-            media_logger.close()
+                media_logger.close()
         return state
 
     def _log_media(self, logger, state, valid_loader, epoch: int) -> None:

@@ -534,6 +534,102 @@ def test_device_feature_cache_spills_to_host(tiny_dataset, tmp_path):
     del jnp, frames
 
 
+def test_async_checkpointer_durable_and_donation_safe(tmp_path):
+    """AsyncCheckpointer: the background save is byte-identical to the
+    synchronous one, survives the caller donating the state's buffers to
+    the very next step (fit's steady state), and close() makes it
+    durable."""
+    import jax
+    import jax.numpy as jnp
+
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+    from acoustic_image_generation_tpu.train.state import TrainState
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32), "b": jnp.float32(1.5)}
+    state = TrainState(
+        step=jnp.int32(3),
+        params=params,
+        batch_stats={"bn": jnp.ones((4,), jnp.float32)},
+        opt_state={"m": jnp.zeros((8,), jnp.float32)},
+    )
+    sync_path = ckpt_mod.save_checkpoint(str(tmp_path / "sync"), 0, state)
+
+    donate = jax.jit(
+        lambda s: jax.tree_util.tree_map(lambda x: x * 0, s), donate_argnums=(0,)
+    )
+    saver = ckpt_mod.AsyncCheckpointer()
+    try:
+        async_path = saver.save(str(tmp_path / "async"), 0, state)
+        state = donate(state)  # invalidates the original buffers
+        jax.block_until_ready(state)
+        saver.wait()
+    finally:
+        saver.close()
+    with open(sync_path, "rb") as f_sync, open(async_path, "rb") as f_async:
+        assert f_sync.read() == f_async.read()
+    # restore round-trips through the async file
+    restored = ckpt_mod.restore_checkpoint(
+        async_path, jax.tree_util.tree_map(jnp.zeros_like, state)
+    )
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(8))
+    assert int(restored.step) == 3
+
+
+@pytest.mark.slow
+def test_eval_rides_feature_cache(tiny_dataset, tmp_path):
+    """Validation over the frozen trunk rides a per-loader feature cache:
+    cached evaluate() matches the uncached one exactly (same state, same
+    padded remainder batches), and a second evaluate on the same loader
+    never re-runs the trunk."""
+    kw = dict(
+        embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1),
+        trunk_bn="frozen",
+    )
+    cfg_full = make_config(tmp_path / "full", **kw)
+    cfg_cached = make_config(
+        tmp_path / "cached", **kw, cache_trunk_features=True,
+        cache_device_bytes=0,
+    )
+    train_loader = AcousticImageDataLoader(
+        tiny_dataset["training"], "training", 8
+    )
+    # batch 8 over a smaller validation split -> padded remainder batch,
+    # exercising the valid mask against repeated padded feature rows
+    valid_loader = AcousticImageDataLoader(
+        tiny_dataset["validation"], "validation", 8
+    )
+    for raw in train_loader.batches(0):
+        break
+
+    tr_full = Trainer(GenerationTask(cfg_full), cfg_full)
+    tr_cached = Trainer(GenerationTask(cfg_cached), cfg_cached)
+    s_full = tr_full.init_state(raw)
+    s_cached = tr_cached.init_state(raw)
+
+    res_full = tr_full.evaluate(s_full, valid_loader)
+    res_cached = tr_cached.evaluate(s_cached, valid_loader)
+    assert res_full.keys() == res_cached.keys()
+    for k in res_full:
+        np.testing.assert_allclose(res_full[k], res_cached[k], rtol=1e-5)
+
+    # the valid loader got its own cache (ids are loader-local, so the
+    # training loader's cache must not be shared)
+    cache = tr_cached._eval_caches[valid_loader]
+    assert len(cache) == valid_loader.num_windows
+    assert cache is not tr_cached.feature_cache
+
+    # second pass: served entirely from the cache — the trunk never runs
+    def _boom(*a, **k):
+        raise AssertionError("trunk recomputed on a fully cached eval set")
+
+    tr_cached._trunk_features = _boom
+    misses = cache.misses
+    res_again = tr_cached.evaluate(s_cached, valid_loader)
+    assert cache.misses == misses
+    for k in res_full:
+        np.testing.assert_allclose(res_again[k], res_cached[k], rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_trunk_bn_frozen_disables_stat_updates(tiny_dataset, tmp_path):
     """trunk_bn="frozen": trunk BN running stats stay bit-identical through
