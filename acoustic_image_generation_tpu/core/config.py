@@ -125,6 +125,11 @@ class ModelConfig:
     # tier. 0 disables the device tier. Only used with
     # cache_trunk_features=True.
     cache_device_bytes: int = 4 << 30
+    # Host-RAM budget for each eval loader's feature cache (validation
+    # rides the frozen-trunk cache across the per-epoch evals; see
+    # Trainer.evaluate). 0 disables eval-side caching. Only used with
+    # cache_trunk_features=True.
+    cache_eval_bytes: int = 8 << 30
     # Run the frozen trunk as a BN-folded W8A8 int8 program
     # (models/quant.py): "none" | "int8". Requires trunk_bn="frozen"
     # (BN folding bakes the running stats into the weights). On v5e the
@@ -169,6 +174,11 @@ class RunConfig:
     restore_checkpoint: str | None = None
     display_freq: int = 1
     seed: int = 0
+    # Write epoch-gate checkpoints on a background thread
+    # (checkpoint.AsyncCheckpointer). Costs a transient on-device copy of
+    # the state while the write is in flight (~2x state HBM during the
+    # save) — disable for runs tuned to the edge of HBM.
+    async_checkpoint: bool = True
 
 
 @dataclass(frozen=True)

@@ -7,6 +7,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from acoustic_image_generation_tpu.evaluation.distance import (
+    as_feature_matrix,
+    iter_sq_distance_blocks,
+)
+
 RANKS = (1, 2, 5, 10, 30)
 
 
@@ -19,11 +24,6 @@ def retrieval_ranks(
     *,
     chunk: int = 2048,
 ) -> dict:
-    from acoustic_image_generation_tpu.evaluation.distance import (
-        as_feature_matrix,
-        iter_sq_distance_blocks,
-    )
-
     anchors = as_feature_matrix(anchors)
     gallery = as_feature_matrix(gallery)
     anchor_labels = np.asarray(anchor_labels)

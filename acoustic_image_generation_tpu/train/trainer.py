@@ -26,6 +26,7 @@ TPU-first structure (vs ``/root/reference/trainer/*.py``):
 from __future__ import annotations
 
 import os
+import sys
 import time
 import weakref
 from datetime import datetime
@@ -338,7 +339,7 @@ class Trainer:
         rngs = {"latent": key, "dropout": key, "moddrop": key}
         kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
         if trunk_feat is not None:
-            kw = {"trunk_feat": trunk_feat}
+            kw["trunk_feat"] = trunk_feat  # _forward prefers trunk_feat
         losses, _ = self.task.eval_losses(
             state.params, state.batch_stats, batch, rngs, **kw
         )
@@ -430,27 +431,36 @@ class Trainer:
             # into the device pool while it has room, the host cache after
             video = jax.device_put(raw_batch.video, self._batch_sharding)
             feat = self._trunk_features(state, video, self._qtrunk)
-            f = raw_batch.frames
             if self.device_cache is not None:
                 self.device_cache.put_batch(
-                    raw_batch.window_ids, raw_batch.valid, feat, f
+                    raw_batch.window_ids, raw_batch.valid, feat, raw_batch.frames
                 )
             resident = self.device_cache.slots if self.device_cache else {}
-            host = None
-            for i in range(raw_batch.valid):
-                wid = int(raw_batch.window_ids[i])
-                if wid in resident:
-                    continue
-                if host is None:
-                    host = np.asarray(jax.device_get(feat))
-                # copy: a view would pin the whole batch array in RAM
-                # while put() only charges the slice's bytes
-                row = np.ascontiguousarray(host[i * f : (i + 1) * f])
-                if not self.feature_cache.put(wid, row):
-                    break  # budget exhausted; later misses recompute
+            self._persist_host_rows(
+                self.feature_cache, raw_batch, feat, skip=resident
+            )
         else:
             feat = jax.device_put(feat, self._batch_sharding)
         return self._train_step_cached(state, raw, feat)
+
+    def _persist_host_rows(self, cache, raw_batch, feat, skip=()) -> None:
+        """Store a freshly computed batch of trunk features into a
+        host-tier cache, one contiguous row per window; ``skip`` holds
+        window ids resident elsewhere (the device pool). Stops at the
+        cache's byte budget — later misses recompute."""
+        f = raw_batch.frames
+        host = None
+        for i in range(raw_batch.valid):
+            wid = int(raw_batch.window_ids[i])
+            if wid in skip or wid in cache:
+                continue
+            if host is None:
+                host = np.asarray(jax.device_get(feat))
+            # copy: a view would pin the whole batch array in RAM while
+            # put() only charges the slice's bytes
+            row = np.ascontiguousarray(host[i * f : (i + 1) * f])
+            if not cache.put(wid, row):
+                break
 
     def _eval_features(self, state, raw_batch, cache):
         """Trunk features for an eval batch: gathered from the loader's
@@ -464,18 +474,7 @@ class Trainer:
             return jax.device_put(feat, self._batch_sharding)
         video = jax.device_put(raw_batch.video, self._batch_sharding)
         feat = self._trunk_features(state, video, self._qtrunk)
-        f = raw_batch.frames
-        host = None
-        for i in range(raw_batch.valid):
-            wid = int(raw_batch.window_ids[i])
-            if wid in cache:
-                continue
-            if host is None:
-                host = np.asarray(jax.device_get(feat))
-            # copy: a view would pin the whole batch array in RAM
-            row = np.ascontiguousarray(host[i * f : (i + 1) * f])
-            if not cache.put(wid, row):
-                break  # budget exhausted; later epochs recompute these
+        self._persist_host_rows(cache, raw_batch, feat)
         return feat
 
     def _cached_raw(self, raw_batch) -> dict:
@@ -493,26 +492,37 @@ class Trainer:
             "valid": jnp.int32(raw_batch.valid),
         }
 
-    def evaluate(self, state: TrainState, loader, epoch: int = 0) -> dict:
+    def evaluate(
+        self, state: TrainState, loader, epoch: int = 0, *, use_cache: bool = True
+    ) -> dict:
         """Size-weighted mean eval losses (trainer/*.py ``_evaluate``).
 
         Sums stay on device until the end so batches pipeline (a per-batch
         value fetch costs a full sync on tunneled TPUs). With the frozen-
         trunk feature cache on, validation rides it too: each eval loader
-        gets its own host-tier cache (window ids are loader-local), so
-        per-epoch validation over a 50-100-epoch recipe pays the trunk
-        once, not once per epoch."""
+        gets its own host-tier cache (window ids are loader-local,
+        budget = ``ModelConfig.cache_eval_bytes``), so per-epoch
+        validation over a 50-100-epoch recipe pays the trunk once, not
+        once per epoch. ``use_cache=False`` skips the caching entirely —
+        right for one-shot evaluations (``test()``), where persisting
+        features costs host RAM and device_get time for zero reuse."""
         sums: dict = {}
         count = None
         cache = None
-        if self.feature_cache is not None and jax.process_count() == 1:
+        eval_bytes = getattr(self.cfg.model, "cache_eval_bytes", 8 << 30)
+        if (
+            use_cache
+            and eval_bytes > 0
+            and self.feature_cache is not None
+            and jax.process_count() == 1
+        ):
             from acoustic_image_generation_tpu.train.feature_cache import (
                 TrunkFeatureCache,
             )
 
             cache = self._eval_caches.get(loader)
             if cache is None:
-                cache = self._eval_caches[loader] = TrunkFeatureCache(8 << 30)
+                cache = self._eval_caches[loader] = TrunkFeatureCache(eval_bytes)
         for i, raw_batch in enumerate(loader.batches(epoch)):
             self._maybe_build_qtrunk(state, raw_batch)
             key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
@@ -588,8 +598,14 @@ class Trainer:
 
         # snapshot checkpoints write on a background thread so the epoch
         # loop never blocks on device->host gather + file IO; closed (=
-        # made durable) before fit returns or re-raises
-        saver = ckpt.AsyncCheckpointer()
+        # made durable) before fit returns or re-raises. Costs a transient
+        # on-device state copy per save — RunConfig.async_checkpoint=False
+        # restores the synchronous writer for HBM-edge runs.
+        saver = (
+            ckpt.AsyncCheckpointer()
+            if getattr(cfg.run, "async_checkpoint", True)
+            else None
+        )
         try:
             for epoch in range(start_epoch, start_epoch + cfg.optim.num_epochs):
                 t0 = time.time()
@@ -654,11 +670,25 @@ class Trainer:
                     self._log_media(media_logger, state, valid_loader, epoch)
                 is_best = tracker.update(epoch, val_loss)
                 if epoch % 10 == 0 or is_best:
-                    saver.save(self.run_dir, epoch, state)
+                    if saver is not None:
+                        saver.save(self.run_dir, epoch, state)
+                    else:
+                        ckpt.save_checkpoint(self.run_dir, epoch, state)
         finally:
-            saver.close()
-            if media_logger is not None:
-                media_logger.close()
+            unwinding = sys.exc_info()[1] is not None
+            try:
+                if saver is not None:
+                    saver.close()
+            except Exception as e:
+                # don't let a deferred background-write error replace an
+                # in-flight exception (e.g. the KeyboardInterrupt the
+                # crash-checkpoint path is re-raising)
+                if not unwinding:
+                    raise
+                print(f"WARNING: background checkpoint write failed: {e!r}")
+            finally:
+                if media_logger is not None:
+                    media_logger.close()
         return state
 
     def _log_media(self, logger, state, valid_loader, epoch: int) -> None:
@@ -700,8 +730,9 @@ class Trainer:
 
     def test(self, state: TrainState, test_loader, epoch: int | None = None) -> dict:
         """Evaluate + write ``test_accuracy{_epoch}.txt`` like
-        ``mfcctrainer.py:476-536``."""
-        results = self.evaluate(state, test_loader)
+        ``mfcctrainer.py:476-536``. One pass — caching features would
+        cost RAM and transfers for zero reuse, so it is skipped."""
+        results = self.evaluate(state, test_loader, use_cache=False)
         os.makedirs(self.run_dir, exist_ok=True)
         suffix = f"_{epoch}" if epoch is not None else ""
         with open(os.path.join(self.run_dir, f"test_accuracy{suffix}.txt"), "w") as f:
