@@ -28,12 +28,22 @@ Baseline: the driver north-star target of 5,000 clips/sec on a v5e-8
 The TF1 reference has no published throughput (BASELINE.md).
 
 Prints ONE JSON line.
+
+Tunnel-wedge watchdog: on this environment's tunneled TPU a process can
+wedge permanently inside one RPC (frozen CPU time, no output — observed
+on ~1h+ runs and on unlucky fresh processes) while a NEW process reaches
+the chip fine. ``__main__`` therefore runs the measurement in a child
+process with a hard time cap and retries in a fresh process on
+timeout/crash (AIG_BENCH_TIMEOUT seconds per attempt, default 1200;
+AIG_BENCH_ATTEMPTS, default 3; AIG_BENCH_NO_WATCHDOG=1 runs in-process).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 from functools import partial
 
@@ -60,6 +70,12 @@ def _emit(metric: str, clips_per_sec: float, *, unit: str = "clips/sec/chip",
 
 
 def main() -> None:
+    if os.environ.get("AIG_BENCH_SELFTEST") == "1":
+        # watchdog self-test: exercise child spawn -> metric detection ->
+        # forwarding without touching a backend (tests/test_cli.py)
+        _emit("bench_selftest", BASELINE_CLIPS_PER_SEC_CHIP)
+        return
+
     import optax
 
     # warmup-only speedup: persist compiled executables across runs
@@ -465,5 +481,54 @@ def _pipeline_bench(clips: int) -> None:
     _emit("pipeline_train_clips_per_sec_chip", n_clips / dt)
 
 
+def _run_with_watchdog() -> int:
+    """Run ``main()`` in a child process, bounded and retried.
+
+    The child's stdout (the JSON line) is forwarded verbatim on success;
+    stderr streams through live. A wedged child (no exit within
+    AIG_BENCH_TIMEOUT) or a crashed child is killed and retried in a
+    fresh process — the wedge is a per-process tunnel-connection state,
+    so a new process usually reaches the chip fine."""
+    attempts = int(os.environ.get("AIG_BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "1200"))
+    env = dict(os.environ, AIG_BENCH_CHILD="1")
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or b""
+            print(
+                f"bench attempt {attempt}/{attempts}: no result within "
+                f"{timeout:.0f}s (wedged tunnel RPC?) — killed, retrying",
+                file=sys.stderr,
+            )
+        else:
+            out = proc.stdout or b""
+            if proc.returncode == 0 and b'"metric"' in out:
+                sys.stdout.buffer.write(out)
+                sys.stdout.flush()
+                return 0
+            print(
+                f"bench attempt {attempt}/{attempts}: exit "
+                f"{proc.returncode}, no metric line — retrying",
+                file=sys.stderr,
+            )
+        if out:
+            sys.stderr.buffer.write(out)
+            sys.stderr.flush()
+    print(f"bench: all {attempts} attempts failed", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("AIG_BENCH_CHILD") == "1" or (
+        os.environ.get("AIG_BENCH_NO_WATCHDOG") == "1"
+    ):
+        main()
+    else:
+        sys.exit(_run_with_watchdog())

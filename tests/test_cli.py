@@ -155,3 +155,42 @@ def test_host_shard_flag_reaches_loader(tmp_path):
     # single-process: identity sharding (index 0 of 1)
     assert (loader.shard_index, loader.shard_count) == (0, 1)
     assert loader.local_batch_size == 4
+
+
+def test_bench_watchdog_forwards_child_metric():
+    """bench.py's __main__ runs the measurement in a child process (the
+    tunneled TPU can wedge one process permanently inside an RPC); the
+    child's JSON metric line must be forwarded verbatim with exit 0."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, AIG_BENCH_SELFTEST="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert rec["metric"] == "bench_selftest"
+    assert rec["vs_baseline"] == 1.0
+
+
+def test_bench_watchdog_kills_wedged_child():
+    """A child that produces no metric within AIG_BENCH_TIMEOUT is killed
+    and the run fails loudly (exit 1) instead of hanging the driver."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, AIG_BENCH_ATTEMPTS="1", AIG_BENCH_TIMEOUT="1")
+    env.pop("AIG_BENCH_SELFTEST", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, timeout=120,
+    )
+    assert out.returncode == 1
+    assert b"no result within" in out.stderr
