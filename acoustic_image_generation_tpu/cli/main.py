@@ -117,6 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trunk_bn", default="train", choices=["train", "frozen"])
     p.add_argument("--cache_trunk_features", type=int, default=0)
     p.add_argument("--trunk_quant", default="none", choices=["none", "int8"])
+    p.add_argument("--cache_disk_dir", default=None,
+                   help="cross-run disk tier for cached trunk features")
     # multi-host pods: each process decodes only its slice of the global
     # batch (data/pipeline.py shard_index/shard_count)
     p.add_argument("--host_shard", type=int, default=0)
@@ -161,6 +163,7 @@ def config_from_args(args) -> ExperimentConfig:
             trunk_bn=args.trunk_bn,
             cache_trunk_features=bool(args.cache_trunk_features),
             trunk_quant=args.trunk_quant,
+            cache_disk_dir=args.cache_disk_dir,
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate,

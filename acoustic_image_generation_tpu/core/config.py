@@ -130,6 +130,16 @@ class ModelConfig:
     # Trainer.evaluate). 0 disables eval-side caching. Only used with
     # cache_trunk_features=True.
     cache_eval_bytes: int = 8 << 30
+    # Cross-RUN disk tier for the trunk feature cache: a directory where
+    # computed features persist, keyed by a digest of the frozen backbone
+    # (or calibrated int8 trunk) + the loader's window table. The
+    # reference protocol trains 5 seeds x many variants over the same
+    # dataset with the same warm-started trunk (scripts/test.bash:5) —
+    # with this set, every run after the first skips the trunk entirely.
+    # None disables. Only used with cache_trunk_features=True.
+    cache_disk_dir: str | None = None
+    # Per-store byte cap for the disk tier above.
+    cache_disk_bytes: int = 256 << 30
     # Run the frozen trunk as a BN-folded W8A8 int8 program
     # (models/quant.py): "none" | "int8". Requires trunk_bn="frozen"
     # (BN folding bakes the running stats into the weights). On v5e the

@@ -32,40 +32,72 @@ pins.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
 
 
 class TrunkFeatureCache:
-    """Bounded host cache: window id -> (frames, 14, 19, 2048) bf16."""
+    """Bounded host cache: window id -> (frames, 14, 19, 2048) bf16.
 
-    def __init__(self, max_bytes: int = 32 << 30) -> None:
+    With a ``disk`` store attached (:class:`DiskFeatureStore`, via the
+    constructor or :meth:`attach_disk`), the cache writes every row
+    through to disk and falls back to it on RAM misses — the cross-RUN
+    tier: the reference protocol trains 5 seeds x many variants over the
+    same dataset with the same warm-started frozen trunk
+    (``scripts/test.bash:5``), so every run after the first starts at
+    steady-state speed instead of re-paying the trunk for epoch 1."""
+
+    def __init__(
+        self, max_bytes: int = 32 << 30, disk: "DiskFeatureStore | None" = None
+    ) -> None:
         self.max_bytes = max_bytes
+        self.disk = disk
         self._store: dict[int, np.ndarray] = {}
         self._bytes = 0
         self.hits = 0
         self.misses = 0
 
+    def attach_disk(self, disk: "DiskFeatureStore") -> None:
+        self.disk = disk
+
     def __contains__(self, window_id: int) -> bool:
-        return int(window_id) in self._store
+        wid = int(window_id)
+        return wid in self._store or (self.disk is not None and wid in self.disk)
 
     def get(self, window_id: int) -> np.ndarray | None:
-        feat = self._store.get(int(window_id))
+        wid = int(window_id)
+        feat = self._store.get(wid)
+        if feat is None and self.disk is not None:
+            feat = self.disk.get(wid)
+            if feat is not None and self._bytes + feat.nbytes <= self.max_bytes:
+                # promote to RAM so later epochs skip the file read
+                self._store[wid] = feat
+                self._bytes += feat.nbytes
         if feat is None:
             self.misses += 1
         else:
             self.hits += 1
         return feat
 
-    def put(self, window_id: int, feat: np.ndarray) -> bool:
-        """Store one window's features; returns False (and stores nothing)
-        once the byte budget is exhausted."""
-        if int(window_id) in self._store:
+    def put(self, window_id: int, feat: np.ndarray, *, ram: bool = True) -> bool:
+        """Store one window's features (write-through to disk when one is
+        attached; ``ram=False`` writes disk only — for rows resident in
+        the device pool that the cross-run tier still needs). Returns True
+        iff the row is now durable in some tier."""
+        wid = int(window_id)
+        on_disk = self.disk.put(wid, feat) if self.disk is not None else False
+        if not ram:
+            return on_disk
+        if wid in self._store:
             return True
         if self._bytes + feat.nbytes > self.max_bytes:
-            return False
-        self._store[int(window_id)] = feat
+            return on_disk
+        self._store[wid] = feat
         self._bytes += feat.nbytes
         return True
 
@@ -196,3 +228,133 @@ class DeviceFeatureCache:
     @property
     def resident(self) -> int:
         return len(self.slots)
+
+
+def _dtype_from_name(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bfloat16 etc. — not addressable by bare name
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+class DiskFeatureStore:
+    """Cross-run disk tier for frozen-trunk features.
+
+    One directory per ``fingerprint`` (a digest of everything the feature
+    values depend on: frozen backbone params + stats — or the calibrated
+    int8 trunk — plus the loader's window table; see
+    ``Trainer._attach_disk``), holding one raw ``w{wid}.bin`` per window
+    and a ``manifest.json`` recording the uniform per-window shape/dtype.
+    Writes are atomic (tmp + rename), so concurrent sweep processes over
+    the same dataset can share a store: a half-written row is never
+    visible, and double-writing a row is harmless (same bytes). The byte
+    budget counts files already on disk, so a re-opened store keeps
+    honoring the cap."""
+
+    def __init__(self, root: str, fingerprint: str, *, max_bytes: int = 256 << 30):
+        self.dir = os.path.join(root, fingerprint[:24])
+        os.makedirs(self.dir, exist_ok=True)
+        self.max_bytes = max_bytes
+        self._manifest = os.path.join(self.dir, "manifest.json")
+        self.meta: dict | None = None
+        if os.path.exists(self._manifest):
+            try:
+                with open(self._manifest) as f:
+                    self.meta = json.load(f)
+            except (OSError, ValueError):
+                self.meta = None
+        self._index: set[int] = set()
+        self._bytes = 0
+        for name in os.listdir(self.dir):
+            if name.startswith("w") and name.endswith(".bin"):
+                try:
+                    wid = int(name[1:-4])
+                except ValueError:
+                    continue
+                self._index.add(wid)
+                try:
+                    self._bytes += os.path.getsize(os.path.join(self.dir, name))
+                except OSError:
+                    pass
+
+    def __contains__(self, window_id: int) -> bool:
+        return int(window_id) in self._index
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def _path(self, wid: int) -> str:
+        return os.path.join(self.dir, f"w{wid}.bin")
+
+    def get(self, window_id: int) -> np.ndarray | None:
+        wid = int(window_id)
+        if self.meta is None or wid not in self._index:
+            return None
+        try:
+            with open(self._path(wid), "rb") as f:
+                data = f.read()
+        except OSError:
+            self._index.discard(wid)
+            return None
+        arr = np.frombuffer(data, dtype=_dtype_from_name(self.meta["dtype"]))
+        return arr.reshape(self.meta["shape"])
+
+    def put(self, window_id: int, feat: np.ndarray) -> bool:
+        wid = int(window_id)
+        if wid in self._index:
+            return True
+        feat = np.ascontiguousarray(feat)
+        if self.meta is None:
+            self.meta = {"dtype": str(feat.dtype), "shape": list(feat.shape)}
+            tmp = self._manifest + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(self.meta, f)
+            os.replace(tmp, self._manifest)
+        elif (
+            list(feat.shape) != list(self.meta["shape"])
+            or str(feat.dtype) != self.meta["dtype"]
+        ):
+            return False  # different geometry — refuse rather than corrupt
+        if self._bytes + feat.nbytes > self.max_bytes:
+            return False
+        tmp = self._path(wid) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(feat.tobytes())
+        os.replace(tmp, self._path(wid))
+        self._index.add(wid)
+        self._bytes += feat.nbytes
+        return True
+
+
+def tree_fingerprint(*trees, digest_size: int = 20) -> str:
+    """Deterministic content digest of pytrees (path order + leaf bytes):
+    the identity key of a :class:`DiskFeatureStore` — two runs share
+    features iff everything the features depend on hashes equal."""
+    import jax
+
+    h = hashlib.blake2b(digest_size=digest_size)
+    for tree in trees:
+        leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf in leaves:
+            h.update(jax.tree_util.keystr(path).encode())
+            arr = np.asarray(jax.device_get(leaf))
+            h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+            h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def windows_fingerprint(loader, digest_size: int = 20) -> str:
+    """Digest of a loader's window table (wid -> record paths): guards a
+    disk store against a different dataset/windowing reusing window ids."""
+    h = hashlib.blake2b(digest_size=digest_size)
+    for window in loader.plan.windows:
+        for path in window:
+            h.update(path.encode() + b"\0")
+        h.update(b"\1")
+    return h.hexdigest()

@@ -120,6 +120,20 @@ class GenerationTask:
             mode="trunk",
         )
 
+    def trunk_state(self, params, batch_stats):
+        """Everything (bf16-path) ``trunk_features`` depends on: the frozen
+        backbone params + BN stats, EXCLUDING the trainable conv_map/logits
+        heads (they sit above the block4 boundary). This is the identity
+        the disk feature tier fingerprints (train/feature_cache.py) — two
+        runs share cached features iff these trees hash equal, which holds
+        across seeds exactly when the trunk is warm-started
+        (``/root/reference/models/vision.py:20-42``)."""
+        drop = ("conv_map", "logits")
+        return (
+            {k: v for k, v in params["resnet"].items() if k not in drop},
+            {k: v for k, v in batch_stats["resnet"].items() if k not in drop},
+        )
+
     def build_qtrunk(self, params, batch_stats, calib_video):
         """Prepack + calibrate the int8 trunk from the current (frozen)
         resnet params. ``calib_video``: normalized frames (N,224,298,3)

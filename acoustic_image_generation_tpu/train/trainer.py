@@ -452,15 +452,56 @@ class Trainer:
         host = None
         for i in range(raw_batch.valid):
             wid = int(raw_batch.window_ids[i])
-            if wid in skip or wid in cache:
+            # pool-resident rows skip the RAM tier but still flow to the
+            # cross-run disk tier (the pool dies with this process)
+            ram = wid not in skip
+            if (not ram or wid in cache) and (
+                cache.disk is None or wid in cache.disk
+            ):
                 continue
             if host is None:
                 host = np.asarray(jax.device_get(feat))
             # copy: a view would pin the whole batch array in RAM while
             # put() only charges the slice's bytes
             row = np.ascontiguousarray(host[i * f : (i + 1) * f])
-            if not cache.put(wid, row):
+            if not cache.put(wid, row, ram=ram):
                 break
+
+    def _attach_disk(self, loader, state, cache) -> None:
+        """Attach the cross-run disk tier (ModelConfig.cache_disk_dir) to a
+        host feature cache, keyed by a digest of the exact feature
+        producer (frozen backbone, or the calibrated int8 trunk when quant
+        is on) + the loader's window table. Idempotent; no-op until the
+        int8 trunk is calibrated (its scales are part of the identity)."""
+        root = getattr(self.cfg.model, "cache_disk_dir", None)
+        if (
+            not root
+            or cache is None
+            or cache.disk is not None
+            or not hasattr(self.task, "trunk_state")
+            or (self._quant and self._qtrunk is None)
+        ):
+            return
+        from acoustic_image_generation_tpu.train import feature_cache as fc
+
+        if self._qtrunk is not None:
+            producer = fc.tree_fingerprint(self._qtrunk)
+        else:
+            producer = fc.tree_fingerprint(
+                *self.task.trunk_state(state.params, state.batch_stats)
+            )
+        import hashlib
+
+        fp = hashlib.blake2b(
+            (producer + fc.windows_fingerprint(loader)).encode(), digest_size=20
+        ).hexdigest()
+        cache.attach_disk(
+            fc.DiskFeatureStore(
+                root,
+                fp,
+                max_bytes=getattr(self.cfg.model, "cache_disk_bytes", 256 << 30),
+            )
+        )
 
     def _eval_features(self, state, raw_batch, cache):
         """Trunk features for an eval batch: gathered from the loader's
@@ -525,6 +566,8 @@ class Trainer:
                 cache = self._eval_caches[loader] = TrunkFeatureCache(eval_bytes)
         for i, raw_batch in enumerate(loader.batches(epoch)):
             self._maybe_build_qtrunk(state, raw_batch)
+            if i == 0 and cache is not None:
+                self._attach_disk(loader, state, cache)
             key = jax.random.fold_in(rng_mod.role_key(self.base_key, "latent"), i)
             if cache is not None and getattr(raw_batch, "window_ids", None) is not None:
                 feat = self._eval_features(state, raw_batch, cache)
@@ -595,6 +638,20 @@ class Trainer:
                     train_loader.num_windows // train_loader.batch_size, 1
                 )
                 start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+
+        # cross-run disk tier: needs the calibrated int8 trunk first when
+        # quant is on (its scales are part of the feature identity)
+        if (
+            getattr(self.cfg.model, "cache_disk_dir", None)
+            and self.feature_cache is not None
+        ):
+            if self._quant and self._qtrunk is None:
+                if first is None:
+                    for first in train_loader.batches(start_epoch):
+                        break
+                if first is not None:
+                    self._maybe_build_qtrunk(state, first)
+            self._attach_disk(train_loader, state, self.feature_cache)
 
         # snapshot checkpoints write on a background thread so the epoch
         # loop never blocks on device->host gather + file IO; closed (=

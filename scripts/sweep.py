@@ -39,6 +39,23 @@ def parse_test_accuracy(text: str) -> dict:
     return results
 
 
+def default_disk_store(flags: list[str], checkpoint_dir: str) -> list[str]:
+    """The N-seed sweep is exactly the cross-run scenario the disk feature
+    tier exists for (docs/PERF.md "Cross-run disk tier"): every seed shares
+    the same frozen trunk + window table, so seeds 1..N-1 skip the trunk
+    entirely. Default the store on next to the checkpoints unless the
+    caller picked a location themselves (or isn't caching features)."""
+    try:
+        i = flags.index("--cache_trunk_features")
+        caching = i + 1 < len(flags) and flags[i + 1] not in ("0", "false")
+    except ValueError:
+        caching = False
+    if caching and "--cache_disk_dir" not in flags:
+        return [*flags, "--cache_disk_dir",
+                os.path.join(checkpoint_dir, "_feature_store")]
+    return list(flags)
+
+
 def run_seed(seed: int, args, train_flags: list[str]) -> dict:
     exp = f"{args.exp_name}_seed{seed}"
     base = [
@@ -72,7 +89,9 @@ def main() -> int:
     parser.add_argument("--exp_name", required=True)
     parser.add_argument("train_flags", nargs=argparse.REMAINDER)
     args = parser.parse_args()
-    flags = [f for f in args.train_flags if f != "--"]
+    flags = default_disk_store(
+        [f for f in args.train_flags if f != "--"], args.checkpoint_dir
+    )
 
     sys.path.insert(0, REPO)
     from acoustic_image_generation_tpu.evaluation.aggregate import aggregate_runs

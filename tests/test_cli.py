@@ -118,7 +118,7 @@ def test_cli_train_then_test_subprocess(tmp_path):
         "--test_file", lists["testing"],
     ]
     subprocess.run([*base, "--mode", "train"], check=True, cwd=repo, env=env,
-                   timeout=480)
+                   timeout=1800)
     run_dir = tmp_path / "ckpt" / "cli_e2e"
     assert (run_dir / "model.txt").exists()
     assert (run_dir / "configuration.txt").exists()
@@ -128,7 +128,7 @@ def test_cli_train_then_test_subprocess(tmp_path):
 
     subprocess.run(
         [*base, "--mode", "test", "--restore_checkpoint", str(ckpt)],
-        check=True, cwd=repo, env=env, timeout=480,
+        check=True, cwd=repo, env=env, timeout=1800,
     )
     assert (run_dir / "test_accuracy.txt").exists()
 

@@ -796,3 +796,111 @@ def test_host_sharded_rows_stitch_into_global_batch(tiny_dataset):
         np.asarray(stitched), np.asarray(expected)
     )
     assert stitched.sharding.is_equivalent_to(expected.sharding, stitched.ndim)
+
+
+def test_disk_feature_store_roundtrip(tmp_path):
+    """DiskFeatureStore (train/feature_cache.py): raw-bytes rows round-trip
+    (incl. bfloat16), budget is honored and counts pre-existing files on
+    reopen, and a geometry mismatch is refused rather than corrupting."""
+    import ml_dtypes
+
+    from acoustic_image_generation_tpu.train.feature_cache import DiskFeatureStore
+
+    row = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    brow = row.astype(ml_dtypes.bfloat16)
+    store = DiskFeatureStore(str(tmp_path), "abc123", max_bytes=3 * brow.nbytes)
+    assert store.get(0) is None
+    assert store.put(0, brow)
+    assert 0 in store and store.get(0).dtype == brow.dtype
+    np.testing.assert_array_equal(np.asarray(store.get(0)), np.asarray(brow))
+    assert store.put(0, brow)  # idempotent re-put
+    assert store.put(1, brow) and store.put(2, brow)
+    assert not store.put(3, brow)  # budget exhausted
+    assert not store.put(4, brow[:1])  # different shape refused
+    # reopen: index + byte accounting rebuilt from disk
+    store2 = DiskFeatureStore(str(tmp_path), "abc123", max_bytes=3 * brow.nbytes)
+    assert len(store2) == 3 and store2.nbytes == 3 * brow.nbytes
+    np.testing.assert_array_equal(np.asarray(store2.get(2)), np.asarray(brow))
+    assert not store2.put(5, brow)  # still over budget after reopen
+    # a different fingerprint is a different (empty) store
+    other = DiskFeatureStore(str(tmp_path), "def456", max_bytes=1 << 20)
+    assert 0 not in other and other.get(0) is None
+
+
+def test_trunk_feature_cache_disk_writethrough(tmp_path):
+    """TrunkFeatureCache with a disk tier: rows flow to disk even when the
+    RAM budget is zero; RAM misses fall back to disk and promote."""
+    from acoustic_image_generation_tpu.train.feature_cache import (
+        DiskFeatureStore,
+        TrunkFeatureCache,
+    )
+
+    disk = DiskFeatureStore(str(tmp_path), "fp", max_bytes=1 << 20)
+    cache = TrunkFeatureCache(max_bytes=0, disk=disk)
+    row = np.ones((2, 3), np.float32)
+    assert cache.put(7, row)  # durable on disk despite ram budget 0
+    assert 7 in cache and 7 in disk
+    got = cache.get(7)
+    np.testing.assert_array_equal(np.asarray(got), row)
+    # ram=False (device-pool-resident row): disk only
+    assert cache.put(8, row, ram=False)
+    assert 8 in disk
+    # with ram budget, a disk hit promotes into RAM
+    cache2 = TrunkFeatureCache(max_bytes=1 << 20, disk=disk)
+    assert cache2.get(7) is not None
+    assert 7 in cache2._store
+
+
+def test_disk_feature_tier_cross_run(tiny_dataset, tmp_path):
+    """Cross-run reuse (ModelConfig.cache_disk_dir): a second Trainer with
+    the same frozen trunk over the same windows is served entirely from
+    the disk store — zero trunk invocations — with an identical loss; a
+    different trunk (different seed) keys a different store."""
+    import jax
+
+    kw = dict(
+        embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1),
+        trunk_bn="frozen", cache_trunk_features=True, cache_device_bytes=0,
+        cache_disk_dir=str(tmp_path / "feat"),
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    for raw in loader.batches(0):
+        break
+
+    cfg1 = make_config(tmp_path / "a", **kw)
+    tr1 = Trainer(GenerationTask(cfg1), cfg1)
+    s1 = tr1.init_state(raw)
+    tr1._attach_disk(loader, s1, tr1.feature_cache)
+    assert tr1.feature_cache.disk is not None
+    s1, m1 = tr1.train_step(s1, raw)
+    assert len(tr1.feature_cache.disk) == raw.valid
+
+    cfg2 = make_config(tmp_path / "b", **kw)  # same seed -> same trunk
+    tr2 = Trainer(GenerationTask(cfg2), cfg2)
+    s2 = tr2.init_state(raw)
+    tr2._attach_disk(loader, s2, tr2.feature_cache)
+    assert tr2.feature_cache.disk.dir == tr1.feature_cache.disk.dir
+    calls = 0
+    orig = tr2._trunk_features
+
+    def counting(*a, **k):
+        nonlocal calls
+        calls += 1
+        return orig(*a, **k)
+
+    tr2._trunk_features = counting
+    s2, m2 = tr2.train_step(s2, raw)
+    assert calls == 0, "second run must be served from the disk tier"
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+    # a different trunk fingerprints a different store
+    import dataclasses
+
+    cfg3 = dataclasses.replace(
+        cfg1, run=dataclasses.replace(cfg1.run, seed=5, checkpoint_dir=str(tmp_path / "c"))
+    )
+    tr3 = Trainer(GenerationTask(cfg3), cfg3)
+    s3 = tr3.init_state(raw)
+    tr3._attach_disk(loader, s3, tr3.feature_cache)
+    assert tr3.feature_cache.disk.dir != tr1.feature_cache.disk.dir
+    assert len(tr3.feature_cache.disk) == 0

@@ -159,6 +159,20 @@ def test_sweep_parses_test_accuracy_lines():
         "huber": 0.0012, "loss": 0.0045, "mse": 0.0033, "mse0": 0.0031,
     }
 
+    # the sweep defaults the cross-run disk feature tier on when trunk
+    # caching is requested (every seed shares the same frozen trunk), and
+    # never overrides an explicit store or an uncached run
+    store = os.path.join("ckpt", "_feature_store")
+    assert sweep.default_disk_store(
+        ["--cache_trunk_features", "1"], "ckpt"
+    ) == ["--cache_trunk_features", "1", "--cache_disk_dir", store]
+    assert sweep.default_disk_store(
+        ["--cache_trunk_features", "0"], "ckpt"
+    ) == ["--cache_trunk_features", "0"]
+    assert sweep.default_disk_store([], "ckpt") == []
+    explicit = ["--cache_trunk_features", "1", "--cache_disk_dir", "/mine"]
+    assert sweep.default_disk_store(explicit, "ckpt") == explicit
+
 
 def test_xlsx_writer_roundtrip(tmp_path):
     """utils.xlsx: dependency-free workbook writer (meanstd.py's artifact
