@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trunk_quant", default="none", choices=["none", "int8"])
     p.add_argument("--cache_disk_dir", default=None,
                    help="cross-run disk tier for cached trunk features")
+    p.add_argument("--cache_features_dtype", default="bf16",
+                   choices=["bf16", "f8_e4m3"],
+                   help="storage dtype for cached trunk features "
+                        "(f8_e4m3 halves every cache tier's footprint)")
     # multi-host pods: each process decodes only its slice of the global
     # batch (data/pipeline.py shard_index/shard_count)
     p.add_argument("--host_shard", type=int, default=0)
@@ -164,6 +168,7 @@ def config_from_args(args) -> ExperimentConfig:
             cache_trunk_features=bool(args.cache_trunk_features),
             trunk_quant=args.trunk_quant,
             cache_disk_dir=args.cache_disk_dir,
+            cache_features_dtype=args.cache_features_dtype,
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate,

@@ -140,6 +140,15 @@ class ModelConfig:
     cache_disk_dir: str | None = None
     # Per-store byte cap for the disk tier above.
     cache_disk_bytes: int = 256 << 30
+    # Storage dtype for cached trunk features, across ALL cache tiers
+    # (HBM pool / host RAM / disk): "bf16" keeps the trunk's native
+    # compute dtype (bfloat16 in the TPU recipe — exact: the cached step
+    # provably matches the full step); "f8_e4m3" stores float8_e4m3 —
+    # half the footprint and PCIe traffic everywhere and 2x the HBM-pool
+    # capacity, at the cost of rounding the features once (~2-3% RMS)
+    # which the trainable head absorbs — same argument as the int8
+    # trunk. Only used with cache_trunk_features=True.
+    cache_features_dtype: str = "bf16"
     # Run the frozen trunk as a BN-folded W8A8 int8 program
     # (models/quant.py): "none" | "int8". Requires trunk_bn="frozen"
     # (BN folding bakes the running stats into the weights). On v5e the

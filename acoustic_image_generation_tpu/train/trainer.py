@@ -98,6 +98,7 @@ class Trainer:
         # correspondence augmentation reshuffles batch rows.
         self.feature_cache = None
         self.device_cache = None
+        self._feat_store_dtype = None
         if getattr(config.model, "cache_trunk_features", False) and (
             jax.process_count() > 1
         ):
@@ -118,6 +119,24 @@ class Trainer:
                 TrunkFeatureCache,
             )
 
+            feat_dt = getattr(config.model, "cache_features_dtype", "bf16")
+            if feat_dt not in ("bf16", "f8_e4m3"):
+                raise ValueError(
+                    "cache_features_dtype must be 'bf16' or 'f8_e4m3', "
+                    f"got {feat_dt!r}"
+                )
+            # None = store exactly what the trunk produces (its compute
+            # dtype) — the bit-exact default. f8 halves every tier's
+            # footprint; the upcast back to the compute dtype happens
+            # inside the jitted cached steps (fused, free).
+            self._feat_store_dtype = (
+                jnp.float8_e4m3fn if feat_dt == "f8_e4m3" else None
+            )
+            self._feat_compute_dtype = (
+                jnp.bfloat16
+                if config.parallel.compute_dtype == "bfloat16"
+                else jnp.float32
+            )
             self.feature_cache = TrunkFeatureCache()
             # Validation/test features are just as cacheable as training
             # ones (same frozen trunk), but window ids are loader-local
@@ -276,6 +295,8 @@ class Trainer:
         if qtrunk is not None:
             kw["qtrunk"] = qtrunk
         if trunk_feat is not None:
+            if self._feat_store_dtype is not None:
+                trunk_feat = trunk_feat.astype(self._feat_compute_dtype)
             kw["trunk_feat"] = trunk_feat
 
         def loss_fn(params):
@@ -303,9 +324,14 @@ class Trainer:
         """(N, F, 224, 298, 3) uint8 -> (N*F, 14, 19, 2048) frozen-trunk
         features at the stop_gradient boundary."""
         flat = video.reshape(-1, *video.shape[2:])
-        return self.task.trunk_features(
+        feat = self.task.trunk_features(
             state.params, state.batch_stats, preprocess.normalize_video(flat), qtrunk
         )
+        if self._feat_store_dtype is not None:
+            # single production point of every cache tier: the storage
+            # rounding (ModelConfig.cache_features_dtype) happens here once
+            feat = feat.astype(self._feat_store_dtype)
+        return feat
 
     def _train_step_cached_impl(self, state: TrainState, raw: dict, trunk_feat):
         """Train step consuming cached trunk features; the video tensor in
@@ -339,6 +365,8 @@ class Trainer:
         rngs = {"latent": key, "dropout": key, "moddrop": key}
         kw = {"qtrunk": qtrunk} if qtrunk is not None else {}
         if trunk_feat is not None:
+            if self._feat_store_dtype is not None:
+                trunk_feat = trunk_feat.astype(self._feat_compute_dtype)
             kw["trunk_feat"] = trunk_feat  # _forward prefers trunk_feat
         losses, _ = self.task.eval_losses(
             state.params, state.batch_stats, batch, rngs, **kw
@@ -492,8 +520,12 @@ class Trainer:
             )
         import hashlib
 
+        # the storage dtype is part of the store identity: a bf16 and an
+        # f8 run over the same trunk+windows must not share rows
+        feat_dt = getattr(self.cfg.model, "cache_features_dtype", "bf16")
         fp = hashlib.blake2b(
-            (producer + fc.windows_fingerprint(loader)).encode(), digest_size=20
+            (producer + fc.windows_fingerprint(loader) + feat_dt).encode(),
+            digest_size=20,
         ).hexdigest()
         cache.attach_disk(
             fc.DiskFeatureStore(

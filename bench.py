@@ -21,7 +21,8 @@ clips/s/chip at 64-clip batches on v5e).
 
 Modes (AIG_BENCH_MODE): train (default, cached steady state) | infer |
 pipeline | scan. AIG_BENCH_CACHE=0 measures the uncached full step;
-AIG_BENCH_TRUNK_BN=train restores the reference-faithful train-mode BN.
+AIG_BENCH_TRUNK_BN=train restores the reference-faithful train-mode BN;
+AIG_BENCH_FEAT_DTYPE=f8_e4m3 holds cached features in float8 (half HBM).
 
 Baseline: the driver north-star target of 5,000 clips/sec on a v5e-8
 (BASELINE.json) == 625 clips/sec/chip; ``vs_baseline`` is measured/625.
@@ -204,7 +205,14 @@ def main() -> None:
     use_feat = use_cache and mode in ("train", "scan")
     dummy_video = jnp.zeros((frames, 1, 1, 3), jnp.uint8)
 
+    # AIG_BENCH_FEAT_DTYPE=f8_e4m3: hold the resident features in float8
+    # (ModelConfig.cache_features_dtype semantics — half the HBM
+    # footprint; the step upcasts inside jit)
+    feat_dtype = os.environ.get("AIG_BENCH_FEAT_DTYPE", "bf16")
+
     def step_body(params, batch_stats, opt_state, acoustic, audio, video, action, key, feat):
+        if feat is not None and feat_dtype != "bf16":
+            feat = feat.astype(jnp.bfloat16)
         batch = preprocess_batch(
             acoustic, audio, dummy_video if feat is not None else video,
             action, action, compute_filtered=False,
@@ -254,6 +262,8 @@ def main() -> None:
             )
 
         feat = trunk(params, batch_stats, video)
+        if feat_dtype == "f8_e4m3":
+            feat = jax.jit(lambda f: f.astype(jnp.float8_e4m3fn))(feat)
         jax.block_until_ready(feat)
 
     if mode == "scan":

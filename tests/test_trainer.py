@@ -534,6 +534,69 @@ def test_device_feature_cache_spills_to_host(tiny_dataset, tmp_path):
     del jnp, frames
 
 
+@pytest.mark.slow
+def test_feature_cache_f8_storage(tiny_dataset, tmp_path):
+    """cache_features_dtype="f8_e4m3": every cache tier stores float8
+    (half the footprint — the HBM pool buffer, the host rows, the disk
+    rows), the cached steps upcast inside jit, and the one-time rounding
+    keeps the loss within a small envelope of the exact-storage step."""
+    import jax.numpy as jnp
+
+    kw = dict(
+        embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1),
+        trunk_bn="frozen", cache_trunk_features=True,
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    for raw in loader.batches(0):
+        break
+
+    cfg_exact = make_config(tmp_path / "exact", **kw, cache_device_bytes=0)
+    cfg_f8 = make_config(
+        tmp_path / "f8", **kw, cache_device_bytes=1 << 30,
+        cache_features_dtype="f8_e4m3",
+    )
+    tr_exact = Trainer(GenerationTask(cfg_exact), cfg_exact)
+    tr_f8 = Trainer(GenerationTask(cfg_f8), cfg_f8)
+
+    s_exact, m_exact = tr_exact.train_step(tr_exact.init_state(raw), raw)
+    s_f8, m_f8 = tr_f8.train_step(tr_f8.init_state(raw), raw)
+
+    # the HBM pool holds f8 rows — half the bytes, double the capacity
+    assert tr_f8.device_cache.buf.dtype == jnp.float8_e4m3fn
+    # features round through f8 exactly once; same batch, close loss
+    np.testing.assert_allclose(
+        float(m_exact["loss"]), float(m_f8["loss"]), rtol=0.05
+    )
+
+    # second step is served entirely from the f8 pool
+    misses = tr_f8.feature_cache.misses
+    s_f8, m2 = tr_f8.train_step(s_f8, raw)
+    assert tr_f8.feature_cache.misses == misses
+    assert np.isfinite(float(m2["loss"]))
+
+    # host tier + cross-run disk tier store f8 rows too, and the disk
+    # store's identity includes the dtype (no mixing with a bf16 store)
+    cfg_host = make_config(
+        tmp_path / "host", **kw, cache_device_bytes=0,
+        cache_features_dtype="f8_e4m3",
+        cache_disk_dir=str(tmp_path / "store"),
+    )
+    tr_host = Trainer(GenerationTask(cfg_host), cfg_host)
+    s_host = tr_host.init_state(raw)
+    tr_host._attach_disk(loader, s_host, tr_host.feature_cache)
+    tr_host.train_step(s_host, raw)
+    row = tr_host.feature_cache.get(int(raw.window_ids[0]))
+    assert row.dtype == jnp.float8_e4m3fn
+    assert tr_host.feature_cache.disk.meta["dtype"] == "float8_e4m3fn"
+
+    # unknown storage dtype is rejected at construction
+    cfg_bad = make_config(
+        tmp_path / "bad", **kw, cache_features_dtype="int4"
+    )
+    with pytest.raises(ValueError, match="cache_features_dtype"):
+        Trainer(GenerationTask(cfg_bad), cfg_bad)
+
+
 def test_async_checkpointer_durable_and_donation_safe(tmp_path):
     """AsyncCheckpointer: the background save is byte-identical to the
     synchronous one, survives the caller donating the state's buffers to
