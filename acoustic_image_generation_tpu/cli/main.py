@@ -275,6 +275,9 @@ def make_loader(config: ExperimentConfig, split: str):
 
 
 def main(argv=None) -> int:
+    from acoustic_image_generation_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     task = select_task(config)

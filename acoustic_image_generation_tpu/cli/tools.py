@@ -580,6 +580,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from acoustic_image_generation_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

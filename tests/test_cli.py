@@ -107,6 +107,9 @@ def test_cli_train_then_test_subprocess(tmp_path):
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
     )
+    # without this the axon sitecustomize would re-pin the child to the
+    # TPU tunnel (config update outranks JAX_PLATFORMS); see core/platform.py
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = [
         sys.executable, "-m", "acoustic_image_generation_tpu.cli.main",

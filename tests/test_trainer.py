@@ -735,6 +735,7 @@ def test_fsdp_layout_is_partitioner_clean_and_matches_dp():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # don't dial the TPU tunnel
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, "-c",
