@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bf16", "f8_e4m3"],
                    help="storage dtype for cached trunk features "
                         "(f8_e4m3 halves every cache tier's footprint)")
+    p.add_argument("--fused_conv", type=int, default=0,
+                   help="fused Pallas conv-chain kernels for the "
+                        "generator's stride-1 3x3 conv pairs (TPU only)")
     # multi-host pods: each process decodes only its slice of the global
     # batch (data/pipeline.py shard_index/shard_count)
     p.add_argument("--host_shard", type=int, default=0)
@@ -169,6 +172,7 @@ def config_from_args(args) -> ExperimentConfig:
             trunk_quant=args.trunk_quant,
             cache_disk_dir=args.cache_disk_dir,
             cache_features_dtype=args.cache_features_dtype,
+            fused_conv=bool(args.fused_conv),
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate,

@@ -155,6 +155,13 @@ class ModelConfig:
     # int8 MXU rate and halved HBM traffic roughly double the uncached
     # trunk-forward roofline; all trainable tensors stay full precision.
     trunk_quant: str = "none"
+    # Run the generator's stride-1 3x3 conv+ReLU chains through the fused
+    # Pallas kernels (ops/pallas_conv): one kernel per chain forward, one
+    # per chain backward, intermediate activations VMEM-resident. Same
+    # parameter tree and math (up to MXU summation order / one bf16
+    # rounding per layer). TPU backends only; elsewhere the flag routes
+    # through a numerically-identical XLA fallback.
+    fused_conv: bool = False
 
 
 @dataclass(frozen=True)

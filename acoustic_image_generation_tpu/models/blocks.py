@@ -15,12 +15,41 @@ import jax.numpy as jnp
 from acoustic_image_generation_tpu.models import layers
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only twin of ``layers.conv2d``: declares the same
+    ``kernel``/``bias`` tree under the same scope name, but returns the raw
+    arrays so a fused multi-conv Pallas kernel (ops/pallas_conv) can consume
+    the whole chain. Checkpoints/TF1 import-export see an identical tree."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            layers.xavier(),
+            (*self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class ConvConvPool(nn.Module):
     """{Conv3x3 -> (BN) -> ReLU} x2 -> optional strided "pool" conv.
 
     Matches ``conv_conv_pool``: the pool is itself a conv (not max-pool),
     with its own BN in the BN variant. Param names mirror the reference
     scopes (``conv_1``, ``conv_2``, ``pool_2``) so TF1 checkpoints map 1:1.
+
+    ``fused=True`` (no-BN variant only) runs the stride-1 conv+ReLU chain
+    through the fused Pallas kernel ``ops.pallas_conv.conv_chain`` on TPU
+    backends (one kernel forward, one backward, intermediate activations
+    VMEM-resident) and through its dtype-disciplined XLA oracle elsewhere.
+    The parameter tree is unchanged.
     """
 
     filters: tuple[int, ...]
@@ -29,15 +58,31 @@ class ConvConvPool(nn.Module):
     pool_kernel: tuple[int, int] = (3, 3)
     pool_strides: tuple[int, int] = (2, 2)
     pool_padding: str = "SAME"
+    fused: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
-        for i, f in enumerate(self.filters):
-            x = layers.conv2d(f, (3, 3), name=f"conv_{i + 1}", dtype=self.dtype)(x)
-            if self.batch_norm:
-                x = layers.batch_norm(train, name=f"bn_{i + 1}", dtype=self.dtype)(x)
-            x = nn.relu(x)
+        if self.fused and not self.batch_norm:
+            from acoustic_image_generation_tpu.ops.pallas_conv import conv_chain_auto
+
+            ws, bs = [], []
+            in_ch = x.shape[-1]
+            for i, f in enumerate(self.filters):
+                k, b = _ConvParams(f, name=f"conv_{i + 1}")(in_ch)
+                ws.append(k)
+                bs.append(b)
+                in_ch = f
+            dt = self.dtype or x.dtype
+            x = conv_chain_auto(
+                x.astype(dt), tuple(ws), tuple(bs), (True,) * len(self.filters)
+            )
+        else:
+            for i, f in enumerate(self.filters):
+                x = layers.conv2d(f, (3, 3), name=f"conv_{i + 1}", dtype=self.dtype)(x)
+                if self.batch_norm:
+                    x = layers.batch_norm(train, name=f"bn_{i + 1}", dtype=self.dtype)(x)
+                x = nn.relu(x)
         if not self.pool:
             return x
         n = len(self.filters)

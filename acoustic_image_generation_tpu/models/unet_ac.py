@@ -111,14 +111,21 @@ class UNetAcResNet(nn.Module):
     latent_dim: int = 150
     skips: int = 1  # 0 | 1 | 2
     embedding: bool = False  # deterministic AE instead of VAE
+    # Route the stride-1 conv+ReLU chains through the fused Pallas kernel
+    # (ops/pallas_conv) on TPU; same parameter tree, same math up to MXU
+    # summation order. The strided "pool" convs and the 133-channel
+    # bottleneck (lane-unaligned) stay on XLA.
+    fused: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, mfccmap, resnet_feature, *, sample: bool = True, train: bool = True) -> VaeOutput:
         del train
         dt = self.dtype
+        fu = self.fused
         conv1, pool1 = ConvConvPool(
-            (128, 128), pool=True, pool_strides=(3, 3), name="layer1", dtype=dt
+            (128, 128), pool=True, pool_strides=(3, 3), name="layer1", dtype=dt,
+            fused=fu,
         )(mfccmap)
         conv2_0 = ConvConvPool((133, 133), name="layer2", dtype=dt)(pool1)
         # Min-max normalize both feature maps before concat
@@ -136,13 +143,13 @@ class UNetAcResNet(nn.Module):
         net = nn.relu(layers.conv2d(133, (3, 3), name="conv_dec", dtype=dt)(net))
         if self.skips >= 2:  # unet_acresnet2skip.py: bottleneck concat
             net = jnp.concatenate([net, conv2_0], axis=-1)
-        conv4 = ConvConvPool((128, 128), name="layer4", dtype=dt)(net)
-        conv5 = ConvConvPool((128, 128), name="layer5", dtype=dt)(conv4)
+        conv4 = ConvConvPool((128, 128), name="layer4", dtype=dt, fused=fu)(net)
+        conv5 = ConvConvPool((128, 128), name="layer5", dtype=dt, fused=fu)(conv4)
         up1 = layers.ConvTransposeTF(128, (2, 2), (3, 3), name="upsample_1", dtype=dt)(conv5)
         if self.skips >= 1:  # skip from the pre-pool encoder features
             up1 = jnp.concatenate([up1, conv1], axis=-1)
-        conv6 = ConvConvPool((128, 128), name="layer6", dtype=dt)(up1)
-        conv7 = ConvConvPool((64, 64), name="layer7", dtype=dt)(conv6)
+        conv6 = ConvConvPool((128, 128), name="layer6", dtype=dt, fused=fu)(up1)
+        conv7 = ConvConvPool((64, 64), name="layer7", dtype=dt, fused=fu)(conv6)
         out = layers.conv2d(self.channels, (3, 3), name="final", dtype=dt)(conv7)
         out = nn.sigmoid(out)
         return VaeOutput(out, z, mean, std, conv2)

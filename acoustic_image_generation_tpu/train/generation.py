@@ -65,6 +65,7 @@ class GenerationTask:
             channels=ch,
             skips=config.model.num_skip_conn,
             embedding=config.model.ae,
+            fused=getattr(config.model, "fused_conv", False),
             dtype=dt,
         )
 

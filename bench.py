@@ -137,6 +137,9 @@ def main() -> None:
     # AIG_BENCH_TRUNK_QUANT=int8: BN-folded W8A8 trunk (models/quant.py) —
     # the uncached-step accelerator (int8 MXU + halved HBM traffic)
     trunk_quant = os.environ.get("AIG_BENCH_TRUNK_QUANT", "none")
+    # AIG_BENCH_FUSED_CONV=1: generator conv chains through the fused
+    # Pallas kernels (ops/pallas_conv) instead of XLA's fusions
+    fused_conv = os.environ.get("AIG_BENCH_FUSED_CONV", "0") == "1"
 
     if mode == "pipeline":
         return _pipeline_bench(clips)
@@ -168,6 +171,7 @@ def main() -> None:
         model=ModelConfig(
             embedding=True, mfcc=True, num_skip_conn=1, trunk_bn=trunk_bn,
             cache_trunk_features=use_cache, trunk_quant=trunk_quant,
+            fused_conv=fused_conv,
         ),
         optim=OptimConfig(learning_rate=1e-4),
         run=RunConfig(exp_name="bench", checkpoint_dir="/tmp/aig_bench_ck"),

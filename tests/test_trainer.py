@@ -749,6 +749,36 @@ def test_fsdp_layout_is_partitioner_clean_and_matches_dp():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("AIG_FULL_TESTS") != "1",
+    reason="full-depth 3/4/6/3 fwd+bwd compile takes tens of minutes on a "
+    "1-core CPU host; set AIG_FULL_TESTS=1 to run (round-3 VERDICT item 3)",
+)
+def test_full_depth_partitioner_clean():
+    """Compile (no execute) the PRODUCTION-depth train step under DP, FSDP
+    and TP on the 8-device mesh: zero SPMD involuntary-rematerialization
+    warnings allowed. The reduced-depth dryrun validates execution; this
+    validates the full 3/4/6/3 graph the real slice would run."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "__graft_entry__.py", "compile_full_depth", "8"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=7200,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-3000:]
+    assert "Involuntary full rematerialization" not in out, out[-3000:]
+    for name in ("dp", "fsdp", "tp"):
+        assert f"{name} compiled ok" in out, out[-3000:]
+
+
+@pytest.mark.slow
 def test_fit_logs_media_when_tensorboard_set(tiny_dataset, tmp_path):
     """Per-epoch reconstruction media (mfcctrainer.py:278-297 capability):
     with run.tensorboard set, fit() writes image panels + scalar records
