@@ -147,14 +147,22 @@ def tp_sharding(params, mesh: Mesh, *, min_channels: int = 256):
 
     Like :func:`fsdp_sharding`, only layouts the partitioner can service
     are chosen: trailing axis only, divisible by the axis size, at least
-    ``min_channels`` channels so each device keeps a full MXU lane tile.
+    ``min_channels`` channels so each device keeps a full MXU lane tile,
+    and **4-D conv kernels only**. Dense (2-D) kernels in this model
+    family all border the 150-d VAE latent (e.g. the generator's
+    150->2304 latent-decode dense); column-splitting one propagates a
+    model-axis sharding onto the tiny latent tensors, whose reshapes the
+    SPMD partitioner can only service by involuntary full
+    rematerialization (verified at full depth by
+    ``__graft_entry__.compile_full_depth``) — and the bytes saved are
+    noise next to the trunk convs this rule exists to split.
     """
     assert "model" in mesh.axis_names, "tp_sharding needs a (data, model) mesh"
     n = mesh.shape["model"]
 
     def spec(p):
         shape = getattr(p, "shape", ())
-        if len(shape) >= 2 and shape[-1] >= min_channels and shape[-1] % n == 0:
+        if len(shape) == 4 and shape[-1] >= min_channels and shape[-1] % n == 0:
             parts = [None] * len(shape)
             parts[-1] = "model"
             return NamedSharding(mesh, P(*parts))

@@ -495,17 +495,10 @@ def _pipeline_bench(clips: int) -> None:
     _emit("pipeline_train_clips_per_sec_chip", n_clips / dt)
 
 
-def _run_with_watchdog() -> int:
-    """Run ``main()`` in a child process, bounded and retried.
-
-    The child's stdout (the JSON line) is forwarded verbatim on success;
-    stderr streams through live. A wedged child (no exit within
-    AIG_BENCH_TIMEOUT) or a crashed child is killed and retried in a
-    fresh process — the wedge is a per-process tunnel-connection state,
-    so a new process usually reaches the chip fine."""
-    attempts = int(os.environ.get("AIG_BENCH_ATTEMPTS", "3"))
-    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "1200"))
-    env = dict(os.environ, AIG_BENCH_CHILD="1")
+def _child_bench(env_overrides: dict, attempts: int, timeout: float):
+    """One bounded, retried child bench run; returns the parsed JSON
+    record or None."""
+    env = dict(os.environ, AIG_BENCH_CHILD="1", **env_overrides)
     for attempt in range(1, attempts + 1):
         try:
             proc = subprocess.run(
@@ -517,26 +510,79 @@ def _run_with_watchdog() -> int:
         except subprocess.TimeoutExpired as e:
             out = e.stdout or b""
             print(
-                f"bench attempt {attempt}/{attempts}: no result within "
-                f"{timeout:.0f}s (wedged tunnel RPC?) — killed, retrying",
+                f"bench attempt {attempt}/{attempts} {env_overrides}: no "
+                f"result within {timeout:.0f}s (wedged tunnel RPC?) — "
+                "killed, retrying",
                 file=sys.stderr,
             )
         else:
             out = proc.stdout or b""
             if proc.returncode == 0 and b'"metric"' in out:
-                sys.stdout.buffer.write(out)
-                sys.stdout.flush()
-                return 0
+                for line in out.decode().splitlines():
+                    if '"metric"' in line:
+                        return json.loads(line)
             print(
-                f"bench attempt {attempt}/{attempts}: exit "
+                f"bench attempt {attempt}/{attempts} {env_overrides}: exit "
                 f"{proc.returncode}, no metric line — retrying",
                 file=sys.stderr,
             )
         if out:
             sys.stderr.buffer.write(out)
             sys.stderr.flush()
-    print(f"bench: all {attempts} attempts failed", file=sys.stderr)
-    return 1
+    return None
+
+
+def _run_with_watchdog() -> int:
+    """Run ``main()`` in a child process, bounded and retried.
+
+    The child emits the JSON line; a wedged child (no exit within
+    AIG_BENCH_TIMEOUT) or a crashed child is killed and retried in a
+    fresh process — the wedge is a per-process tunnel-connection state,
+    so a new process usually reaches the chip fine.
+
+    When the primary run is the default configuration (cached train
+    step), the watchdog then measures the other rungs of the perf ladder
+    in further child processes and merges them into the SAME single JSON
+    line (``ladder`` + ``reference_faithful`` fields), so BENCH_r*.json
+    alone carries the context that otherwise lives in docs/PERF.md:
+    ``cached`` is the steady-state production recipe (epochs 2+, frozen
+    trunk features reused), ``uncached_int8`` is epoch-1/fresh-data with
+    the W8A8 trunk, and ``reference_faithful`` re-creates the reference's
+    own configuration (train-mode BN, full trunk every step). Disable
+    with AIG_BENCH_LADDER=0. Rung failures degrade to null fields."""
+    attempts = int(os.environ.get("AIG_BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "1200"))
+    rec = _child_bench({}, attempts, timeout)
+    if rec is None:
+        print(f"bench: all {attempts} attempts failed", file=sys.stderr)
+        return 1
+
+    is_default = (
+        os.environ.get("AIG_BENCH_SELFTEST") != "1"
+        and os.environ.get("AIG_BENCH_MODE", "train") == "train"
+        and os.environ.get("AIG_BENCH_CACHE", "1") == "1"
+        and os.environ.get("AIG_BENCH_TRUNK_QUANT", "none") == "none"
+        and os.environ.get("AIG_BENCH_LADDER", "1") == "1"
+    )
+    if is_default:
+        l_att = int(os.environ.get("AIG_BENCH_LADDER_ATTEMPTS", "2"))
+        l_to = float(os.environ.get("AIG_BENCH_LADDER_TIMEOUT", "900"))
+        int8 = _child_bench(
+            {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_QUANT": "int8"},
+            l_att, l_to,
+        )
+        faithful = _child_bench(
+            {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_BN": "train"},
+            l_att, l_to,
+        )
+        rec["ladder"] = {
+            "cached": rec["value"],
+            "uncached_int8": int8["value"] if int8 else None,
+            "reference_faithful": faithful["value"] if faithful else None,
+        }
+    print(json.dumps(rec))
+    sys.stdout.flush()
+    return 0
 
 
 if __name__ == "__main__":
