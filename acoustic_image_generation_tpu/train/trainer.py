@@ -51,6 +51,21 @@ from acoustic_image_generation_tpu.train import checkpoint as ckpt
 from acoustic_image_generation_tpu.train.state import TrainState
 
 
+def _local_rows(garr) -> np.ndarray:
+    """This process's contiguous row block of a leading-axis-sharded global
+    array, as one host numpy array in row order. Used by the multi-host
+    cached step to persist the local shard of freshly computed trunk
+    features (the full global array is not process-addressable there).
+    Duplicate shards (batch arrays replicated over a model axis) collapse
+    to one copy per row block."""
+    blocks: dict[int, np.ndarray] = {}
+    for s in garr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in blocks:
+            blocks[start] = np.asarray(s.data)
+    return np.concatenate([blocks[k] for k in sorted(blocks)], axis=0)
+
+
 class Trainer:
     def __init__(self, task, config: ExperimentConfig, mesh=None):
         self.task = task
@@ -99,16 +114,6 @@ class Trainer:
         self.feature_cache = None
         self.device_cache = None
         self._feat_store_dtype = None
-        if getattr(config.model, "cache_trunk_features", False) and (
-            jax.process_count() > 1
-        ):
-            # the cache tiers are host-local (HBM pool + host RAM keyed by
-            # this process's window ids); under multi-host SPMD the cached
-            # step's gathered features would only cover local rows
-            raise ValueError(
-                "cache_trunk_features is not supported with multi-host "
-                "training (host_shard); disable one of the two"
-            )
         if (
             getattr(config.model, "cache_trunk_features", False)
             and hasattr(task, "trunk_features")
@@ -148,6 +153,18 @@ class Trainer:
                 self._train_step_cached_impl, donate_argnums=(0,)
             )
             dev_bytes = getattr(config.model, "cache_device_bytes", 0)
+            if jax.process_count() > 1:
+                # Multi-host: each process keeps a host-RAM (+disk) tier
+                # over ITS shard rows — window ids are global indices into
+                # the shared window table (data/pipeline.py:308-338), so
+                # keys stay stable; the global feature array is stitched
+                # from per-host rows (form_global_batch). The HBM pool
+                # tier stays off: its slot gathers assume every row is
+                # process-addressable. After an epoch reshuffle a window
+                # can migrate to another host's slice — that miss
+                # recomputes (or disk-hits), which costs throughput only,
+                # never correctness.
+                dev_bytes = 0
             if dev_bytes > 0:
                 from acoustic_image_generation_tpu.train.feature_cache import (
                     DeviceFeatureCache,
@@ -413,6 +430,24 @@ class Trainer:
         from acoustic_image_generation_tpu.train import feature_cache as fc
 
         raw = self._cached_raw(raw_batch)
+        if jax.process_count() > 1:
+            # Multi-host: this process serves ITS rows from its host tier
+            # (global window ids), then the global feature array is formed
+            # from per-host rows exactly like the input batch. Misses run
+            # the (sharded) trunk for the whole global batch and each host
+            # persists its own shard's rows.
+            feat = fc.gather_batch(
+                self.feature_cache, raw_batch.window_ids, raw_batch.valid
+            )
+            if feat is not None:
+                gfeat = mesh_mod.form_global_batch(feat, self.mesh)
+            else:
+                video = mesh_mod.form_global_batch(raw_batch.video, self.mesh)
+                gfeat = self._trunk_features(state, video, self._qtrunk)
+                self._persist_host_rows(
+                    self.feature_cache, raw_batch, _local_rows(gfeat)
+                )
+            return self._train_step_cached(state, raw, gfeat)
         # tier 1: HBM-resident pool — gather by slot index on device;
         # rows the pool lacks are filled from the host tier so only the
         # misses cross PCIe (after a reshuffle most batches are mixed)
@@ -552,18 +587,37 @@ class Trainer:
 
     def _cached_raw(self, raw_batch) -> dict:
         """Batch upload for the cached step: the trunk never runs, so ship
-        a 1x1 dummy video (drops the upload from ~150 MB to bytes)."""
+        a 1x1 dummy video (drops the upload from ~150 MB to bytes).
+        Multi-host, each process contributes its local rows to the global
+        arrays exactly like :meth:`device_batch`."""
         n, f = raw_batch.video.shape[:2]
-        return {
-            "acoustic": jax.device_put(raw_batch.acoustic, self._batch_sharding),
-            "audio": jax.device_put(raw_batch.audio, self._batch_sharding),
-            "video": jax.device_put(
-                np.zeros((n, f, 1, 1, 3), np.uint8), self._batch_sharding
-            ),
-            "action": jax.device_put(raw_batch.action, self._batch_sharding),
-            "location": jax.device_put(raw_batch.location, self._batch_sharding),
-            "valid": jnp.int32(raw_batch.valid),
+        arrays = {
+            "acoustic": raw_batch.acoustic,
+            "audio": raw_batch.audio,
+            "video": np.zeros((n, f, 1, 1, 3), np.uint8),
+            "action": raw_batch.action,
+            "location": raw_batch.location,
         }
+        n_proc = jax.process_count()
+        if n_proc == 1:
+            out = {
+                k: jax.device_put(v, self._batch_sharding)
+                for k, v in arrays.items()
+            }
+            out["valid"] = jnp.int32(raw_batch.valid)
+            return out
+        if raw_batch.valid != raw_batch.action.shape[0]:
+            raise ValueError(
+                "multi-host training requires full batches "
+                "(drop_remainder=True in the loader); got "
+                f"{raw_batch.valid}/{raw_batch.action.shape[0]} real rows"
+            )
+        out = {
+            k: mesh_mod.form_global_batch(v, self.mesh)
+            for k, v in arrays.items()
+        }
+        out["valid"] = jnp.int32(raw_batch.valid * n_proc)
+        return out
 
     def evaluate(
         self, state: TrainState, loader, epoch: int = 0, *, use_cache: bool = True

@@ -892,6 +892,46 @@ def test_host_sharded_rows_stitch_into_global_batch(tiny_dataset):
     assert stitched.sharding.is_equivalent_to(expected.sharding, stitched.ndim)
 
 
+def test_host_sharded_cache_contract(tiny_dataset):
+    """The contracts the multi-host cached step rests on
+    (Trainer._train_step_with_cache, process_count>1 branch):
+
+    1. host-sharded loaders' window_ids are GLOBAL indices — shard i's
+       ids are exactly its contiguous row slice of the global batch's
+       ids, so per-host cache keys agree with the shared window table;
+    2. trainer._local_rows extracts a process's contiguous row block
+       from a leading-axis-sharded global array (what the miss path
+       persists into the host tier)."""
+    import jax
+
+    from acoustic_image_generation_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+    )
+    from acoustic_image_generation_tpu.train.trainer import _local_rows
+
+    mk = lambda **kw: AcousticImageDataLoader(
+        tiny_dataset["training"], "training", batch_size=8,
+        sample_length=1, seed=0, **kw
+    )
+    global_ids = next(iter(mk().batches(0))).window_ids
+    for i in range(2):
+        shard = next(iter(mk(shard_index=i, shard_count=2).batches(0)))
+        np.testing.assert_array_equal(
+            shard.window_ids, global_ids[i * 4 : (i + 1) * 4]
+        )
+
+    mesh = make_mesh(2)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    garr = jax.device_put(x, batch_sharding(mesh))
+    # single process addresses every shard: _local_rows returns all rows
+    np.testing.assert_array_equal(_local_rows(garr), x)
+    # model-axis-replicated batch arrays collapse duplicate row blocks
+    mesh2 = make_mesh(4, model_parallel=2)
+    garr2 = jax.device_put(x, batch_sharding(mesh2))
+    np.testing.assert_array_equal(_local_rows(garr2), x)
+
+
 def test_disk_feature_store_roundtrip(tmp_path):
     """DiskFeatureStore (train/feature_cache.py): raw-bytes rows round-trip
     (incl. bfloat16), budget is honored and counts pre-existing files on
