@@ -385,6 +385,40 @@ def _ingest_bench(clips: int) -> None:
     from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
 
     flat_list = _ensure_bench_dataset()
+
+    # AIG_BENCH_THREADS="1,2,4,8": decode worker-pool scaling curve —
+    # cold-rate clips/s per ThreadPoolExecutor width (the C++ ingest is
+    # called through ctypes, which releases the GIL for the foreign
+    # call, so the pool scales with host cores; on a 1-core host the
+    # curve saturating at 1 thread is the expected result and the
+    # evidence for the per-core scaling claim in docs/PERF.md).
+    sweep = os.environ.get("AIG_BENCH_THREADS", "")
+    if sweep:
+        # warm the OS page cache first so every width measures decode CPU,
+        # not first-touch file IO (otherwise the first width pays cold
+        # reads the later ones don't)
+        for raw in AcousticImageDataLoader(
+            flat_list, "training", clips, use_native=True
+        ).batches(0):
+            pass
+        curve = []
+        for nt in (int(s) for s in sweep.split(",")):
+            loader = AcousticImageDataLoader(
+                flat_list, "training", clips, use_native=True,
+                num_io_threads=nt,
+            )
+            t0 = time.perf_counter()
+            n = 0
+            for raw in loader.batches(0):
+                n += raw.valid
+            curve.append((nt, n / (time.perf_counter() - t0)))
+            print(f"ingest threads={nt}: {curve[-1][1]:.1f} clips/s",
+                  file=sys.stderr, flush=True)
+        best = max(curve, key=lambda c: c[1])
+        _emit("ingest_clips_per_sec", best[1], unit="clips/sec/host",
+              baseline=False)
+        return
+
     loader = AcousticImageDataLoader(
         flat_list, "training", clips, use_native=True, cache_windows=True
     )
