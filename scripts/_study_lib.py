@@ -18,6 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# persist compiled executables across processes: the tunnel-wedge retry
+# loop (study_protocol) relaunches in fresh processes, which would
+# otherwise pay ~5 min of compiles per attempt
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("AIG_JAX_CACHE", "/tmp/aig_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
 from acoustic_image_generation_tpu.data.preprocess import preprocess_batch
 from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
