@@ -46,6 +46,14 @@ EVAL_EVERY = int(os.environ.get("AIG_PROTO_EVAL_EVERY", "25"))
 # converged at ~0.008: the gap is wide and bimodal)
 ESCAPE_MSE = float(os.environ.get("AIG_PROTO_ESCAPE_MSE", "0.013"))
 VIDEOS = int(os.environ.get("AIG_STUDY_VIDEOS", "8"))
+# CLEARLY-FLAGGED DEVIATION (off by default): energy-weighted recon loss
+# targeting the render-from-latent cliff — see _study_lib.Flagship.
+# When set, screen results land in screen_w{L}.jsonl and final.json
+# records the deviation.
+BLOB_WEIGHT = float(os.environ.get("AIG_PROTO_BLOB_WEIGHT", "0"))
+_SCREEN = (
+    "screen.jsonl" if not BLOB_WEIGHT else f"screen_w{BLOB_WEIGHT:g}.jsonl"
+)
 
 os.makedirs(OUT, exist_ok=True)
 t0 = time.time()
@@ -56,11 +64,11 @@ dte, dte_act = lib.device_split(lib.load_split(lists["testing"], "testing"))
 print(f"data on device: {dtr[0].shape[0]} train / {dte[0].shape[0]} test "
       f"frames ({time.time()-t0:.0f}s)", flush=True)
 
-flag = lib.Flagship()
+flag = lib.Flagship(blob_weight=BLOB_WEIGHT)
 
 
 def screen():
-    path = os.path.join(OUT, "screen.jsonl")
+    path = os.path.join(OUT, _SCREEN)
     done = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -191,6 +199,7 @@ def finish(results):
 
     final = {
         "protocol": {
+            "blob_weight_deviation": BLOB_WEIGHT,
             "seeds_screened": len(results),
             "escaped_seeds": [r["seed"] for r in results if r["escaped"]],
             "best_seed": seed,
@@ -216,7 +225,7 @@ if __name__ == "__main__":
     if phase in ("screen", "all"):
         results = screen()
     else:
-        with open(os.path.join(OUT, "screen.jsonl")) as f:
+        with open(os.path.join(OUT, _SCREEN)) as f:
             results = [json.loads(line) for line in f]
     if phase in ("finish", "all"):
         finish(results)
