@@ -77,8 +77,6 @@ def main() -> None:
         _emit("bench_selftest", BASELINE_CLIPS_PER_SEC_CHIP)
         return
 
-    import optax
-
     # warmup-only speedup: persist compiled executables across runs
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -166,31 +164,64 @@ def main() -> None:
     video = jnp.asarray(rng.integers(0, 255, (frames, 224, 298, 3)).astype(np.uint8))
     action = jnp.zeros((frames,), jnp.int32)
 
+    # AIG_BENCH_FEAT_DTYPE=f8_e4m3: hold the resident features in float8
+    # (ModelConfig.cache_features_dtype — half the HBM footprint; the
+    # production cached step upcasts inside jit)
+    feat_dtype = os.environ.get("AIG_BENCH_FEAT_DTYPE", "bf16")
     cfg = ExperimentConfig(
         data=DataConfig(batch_size=clips, sample_length=1),
         model=ModelConfig(
             embedding=True, mfcc=True, num_skip_conn=1, trunk_bn=trunk_bn,
             cache_trunk_features=use_cache, trunk_quant=trunk_quant,
-            fused_conv=fused_conv,
+            fused_conv=fused_conv, cache_features_dtype=feat_dtype,
         ),
         optim=OptimConfig(learning_rate=1e-4),
         run=RunConfig(exp_name="bench", checkpoint_dir="/tmp/aig_bench_ck"),
-        parallel=ParallelConfig(compute_dtype="bfloat16"),
+        parallel=ParallelConfig(
+            compute_dtype="bfloat16", num_devices=max(_DP_DEVICES, 1)
+        ),
     )
     task = GenerationTask(cfg)
 
-    @jax.jit
-    def init(acoustic, audio, video, action):
-        batch = preprocess_batch(
-            acoustic[:1], audio[:1], video[:1], action[:1], action[:1]
-        )
-        return task.init_variables(jax.random.key(0), batch)
+    if mode == "infer":
+        @jax.jit
+        def init(acoustic, audio, video, action):
+            batch = preprocess_batch(
+                acoustic[:1], audio[:1], video[:1], action[:1], action[:1]
+            )
+            return task.init_variables(jax.random.key(0), batch)
 
-    params, batch_stats = init(acoustic, audio, video, action)
-    tx = optax.multi_transform(
-        {"train": optax.adam(1e-4), "frozen": optax.set_to_zero()}, task.param_labels
+        params, batch_stats = init(acoustic, audio, video, action)
+        qtrunk = None
+        if trunk_quant != "none":
+            from acoustic_image_generation_tpu.data.preprocess import normalize_video
+
+            # one-time prepack + static activation calibration on this batch
+            qtrunk = task.build_qtrunk(params, batch_stats, normalize_video(video))
+            jax.block_until_ready(qtrunk)
+        return _infer_bench(task, params, batch_stats, audio, video, clips, qtrunk)
+
+    # ---------------------------------------------------- train / scan
+    # The measured step IS the production step: bench instantiates the
+    # real Trainer and times its jitted `_train_step_impl` /
+    # `_train_step_cached_impl` (train/trainer.py `_step_core`: production
+    # `_prepare`, TF1-exact Adam, the same cached-feature math the
+    # pipeline runs). Bench only holds the data device-resident and owns
+    # the timing boundaries — there is no hand-rolled twin of the step.
+    import types
+
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    trainer = Trainer(task, cfg)
+    clip = lambda x: x.reshape(clips, 12, *x.shape[1:])
+    raw_host = types.SimpleNamespace(
+        acoustic=clip(acoustic), audio=clip(audio), video=clip(video),
+        action=jnp.zeros((clips,), jnp.int32),
+        location=jnp.zeros((clips,), jnp.int32),
+        valid=clips,
     )
-    opt_state = jax.jit(tx.init)(params)
+    raw = trainer.device_batch(raw_host)
+    state = trainer.init_state(raw_host)
 
     qtrunk = None
     if trunk_quant != "none":
@@ -198,106 +229,48 @@ def main() -> None:
 
         # one-time prepack + static activation calibration on this batch
         qtrunk = task.build_qtrunk(
-            params, batch_stats, normalize_video(video)
+            state.params, state.batch_stats, normalize_video(video)
         )
+        qtrunk = jax.device_put(qtrunk, trainer._replicated)
         jax.block_until_ready(qtrunk)
 
-    if mode == "infer":
-        return _infer_bench(task, params, batch_stats, audio, video, clips, qtrunk)
-
-    # ------------------------------------------------------------- steps
     use_feat = use_cache and mode in ("train", "scan")
-    dummy_video = jnp.zeros((frames, 1, 1, 3), jnp.uint8)
-
-    # AIG_BENCH_FEAT_DTYPE=f8_e4m3: hold the resident features in float8
-    # (ModelConfig.cache_features_dtype semantics — half the HBM
-    # footprint; the step upcasts inside jit)
-    feat_dtype = os.environ.get("AIG_BENCH_FEAT_DTYPE", "bf16")
-
-    def step_body(params, batch_stats, opt_state, acoustic, audio, video, action, key, feat):
-        if feat is not None and feat_dtype != "bf16":
-            feat = feat.astype(jnp.bfloat16)
-        batch = preprocess_batch(
-            acoustic, audio, dummy_video if feat is not None else video,
-            action, action, compute_filtered=False,
-        )
-
-        def loss_fn(p):
-            loss, metrics, new_stats = task.loss(
-                p, batch_stats, batch, {"latent": key}, train=True, trunk_feat=feat,
-                qtrunk=qtrunk,
-            )
-            return loss, new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt2 = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), new_stats, opt2, loss
-
-    # materialize the DP layout decided above: batch sharded over the
-    # mesh, params/optimizer replicated
-    if _DP_DEVICES > 1:
-        from acoustic_image_generation_tpu.parallel import (
-            batch_sharding,
-            make_mesh,
-            replicated_sharding,
-        )
-
-        mesh = make_mesh(_DP_DEVICES)
-        bsh, rep = batch_sharding(mesh), replicated_sharding(mesh)
-        acoustic, audio, video, action = (
-            jax.device_put(x, bsh) for x in (acoustic, audio, video, action)
-        )
-        params, batch_stats, opt_state = (
-            jax.device_put(x, rep) for x in (params, batch_stats, opt_state)
-        )
-        if qtrunk is not None:
-            qtrunk = jax.device_put(qtrunk, rep)
-
     feat = None
     if use_feat:
-        # epoch-1 cache fill, amortized across the remaining epochs of any
-        # real recipe (50-100 epochs upstream): computed once, reused below
-        @jax.jit
-        def trunk(params, batch_stats, video):
-            from acoustic_image_generation_tpu.data.preprocess import normalize_video
-
-            return task.trunk_features(
-                params, batch_stats, normalize_video(video), qtrunk
-            )
-
-        feat = trunk(params, batch_stats, video)
-        if feat_dtype == "f8_e4m3":
-            feat = jax.jit(lambda f: f.astype(jnp.float8_e4m3fn))(feat)
+        # epoch-1 cache fill via the production trunk-split (single
+        # storage-rounding point for every cache tier), amortized across
+        # the remaining epochs of any real recipe (50-100 epochs upstream)
+        feat = trainer._trunk_features(state, raw["video"], qtrunk)
         jax.block_until_ready(feat)
+        # the cached step never reads the video tensor — swap in a dummy
+        # exactly like the production cached path (trainer.py docstring)
+        raw["video"] = jax.device_put(
+            jnp.zeros((clips, 12, 1, 1, 3), jnp.uint8), trainer._batch_sharding
+        )
 
     if mode == "scan":
-        return _scan_bench(step_body, params, batch_stats, opt_state,
-                           acoustic, audio, video, action, feat, clips)
+        return _scan_bench(trainer, state, raw, feat, qtrunk, clips)
 
-    train_step = jax.jit(
-        partial(step_body), donate_argnums=(0, 1, 2)
-    )
+    if use_feat:
+        step = lambda s: trainer._train_step_cached(s, raw, feat)
+    else:
+        step = lambda s: trainer._train_step(s, raw, qtrunk)
 
     # warmup (compile + 2 steady steps); fetching the loss VALUE forces
     # real execution — on a tunneled TPU, block_until_ready alone returns
     # before the remote computation finishes and wildly overstates
     # throughput, so every timing boundary below is a value fetch.
-    s = (params, batch_stats, opt_state)
-    for i in range(3):
-        out = train_step(*s, acoustic, audio, video, action, jax.random.key(i), feat)
-        s = out[:-1]
-    float(out[-1])
+    for _ in range(3):
+        state, metrics = step(state)
+    float(jax.device_get(metrics["loss"]))
 
     n_steps = int(os.environ.get("AIG_BENCH_STEPS", "20" if use_feat else "10"))
-    keys = list(jax.random.split(jax.random.key(100), n_steps))
-    jax.block_until_ready(keys)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        out = train_step(*s, acoustic, audio, video, action, keys[i], feat)
-        s = out[:-1]
+    for _ in range(n_steps):
+        state, metrics = step(state)
     # the last step depends on every earlier step's params; fetching its
     # loss waits for the whole chain
-    float(out[-1])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
     _emit("generation_train_clips_per_sec_chip", n_steps * clips / dt)
 
@@ -334,37 +307,32 @@ def _infer_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=Non
     _emit("generation_infer_clips_per_sec_chip", n_steps * clips / dt)
 
 
-def _scan_bench(step_body, params, batch_stats, opt_state,
-                acoustic, audio, video, action, feat, clips: int) -> None:
-    """Fuse K train steps into ONE jitted program (lax.scan over per-step
-    latent keys): a single dispatch per K steps amortizes the per-call
-    overhead of remote/tunneled execution."""
+def _scan_bench(trainer, state, raw, feat, qtrunk, clips: int) -> None:
+    """Fuse K production train steps into ONE jitted program (lax.scan):
+    a single dispatch per K steps amortizes the per-call overhead of
+    remote/tunneled execution. Per-step RNGs derive from ``state.step``
+    inside `_step_core` exactly as in the per-call path."""
     scan_k = int(os.environ.get("AIG_BENCH_SCAN", "8"))
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_scan(params, batch_stats, opt_state, acoustic, audio, video, action, keys, feat):
-        def body(carry, key):
-            p, bs, opt = carry
-            p, bs, opt, loss = step_body(p, bs, opt, acoustic, audio, video, action, key, feat)
-            return (p, bs, opt), loss
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_scan(state, raw, feat, qtrunk):
+        def body(s, _):
+            if feat is not None:
+                s, metrics = trainer._train_step_cached_impl(s, raw, feat)
+            else:
+                s, metrics = trainer._train_step_impl(s, raw, qtrunk)
+            return s, metrics["loss"]
 
-        (params, batch_stats, opt_state), losses = jax.lax.scan(
-            body, (params, batch_stats, opt_state), keys
-        )
-        return params, batch_stats, opt_state, losses[-1]
+        state, losses = jax.lax.scan(body, state, None, length=scan_k)
+        return state, losses[-1]
 
-    s = (params, batch_stats, opt_state)
-    args = (acoustic, audio, video, action)
-    keys = jax.random.split(jax.random.key(0), scan_k)
-    out = train_scan(*s, *args, keys, feat)
-    s = out[:-1]
-    float(out[-1])
+    state, loss = train_scan(state, raw, feat, qtrunk)
+    float(jax.device_get(loss))
     n_outer = int(os.environ.get("AIG_BENCH_STEPS", "5"))
     t0 = time.perf_counter()
-    for i in range(n_outer):
-        out = train_scan(*s, *args, jax.random.split(jax.random.key(i + 1), scan_k), feat)
-        s = out[:-1]
-    float(out[-1])
+    for _ in range(n_outer):
+        state, loss = train_scan(state, raw, feat, qtrunk)
+    float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     _emit("generation_train_clips_per_sec_chip", n_outer * scan_k * clips / dt)
 
