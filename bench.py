@@ -103,6 +103,15 @@ def main() -> None:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass  # backend already initialized (e.g. by the driver)
+        # CPU-feature-keyed cache dir: XLA:CPU AOT cache entries are not
+        # keyed by target microarch and can SIGILL on a different host
+        # generation (see __graft_entry__._cpu_cache_dir)
+        if "AIG_JAX_CACHE" not in os.environ:
+            import __graft_entry__ as _ge
+
+            jax.config.update(
+                "jax_compilation_cache_dir", _ge._cpu_cache_dir()
+            )
 
     from acoustic_image_generation_tpu.core.config import (
         DataConfig,
@@ -123,15 +132,19 @@ def main() -> None:
     # 64), the uncached TRAIN step at 64 (bf16: 252 vs 239.9 at 96; int8
     # batch-insensitive at ~349).
     mode = os.environ.get("AIG_BENCH_MODE", "train")  # train|infer|pipeline|scan
+    use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
+    trunk_bn = os.environ.get("AIG_BENCH_TRUNK_BN", "frozen")  # frozen|train
+    # the feature cache requires the frozen-BN trunk (Trainer only builds
+    # the cached step when trunk_bn=='frozen'); train-mode BN recomputes
+    # the trunk every step by definition, so the combination is meaningless
+    use_cache = use_cache and trunk_bn == "frozen"
     if mode == "infer":
         default_clips = "96"
-    elif os.environ.get("AIG_BENCH_CACHE", "1") != "1":
-        default_clips = "64"
+    elif not use_cache:
+        default_clips = "64"  # full-trunk train step OOMs at 128 clips
     else:
         default_clips = "128"
     clips = int(os.environ.get("AIG_BENCH_CLIPS", default_clips))
-    use_cache = os.environ.get("AIG_BENCH_CACHE", "1") == "1"
-    trunk_bn = os.environ.get("AIG_BENCH_TRUNK_BN", "frozen")  # frozen|train
     # AIG_BENCH_TRUNK_QUANT=int8: BN-folded W8A8 trunk (models/quant.py) —
     # the uncached-step accelerator (int8 MXU + halved HBM traffic)
     trunk_quant = os.environ.get("AIG_BENCH_TRUNK_QUANT", "none")
@@ -544,20 +557,36 @@ def _run_with_watchdog() -> int:
 
     When the primary run is the default configuration (cached train
     step), the watchdog then measures the other rungs of the perf ladder
-    in further child processes and merges them into the SAME single JSON
-    line (``ladder`` + ``reference_faithful`` fields), so BENCH_r*.json
-    alone carries the context that otherwise lives in docs/PERF.md:
-    ``cached`` is the steady-state production recipe (epochs 2+, frozen
-    trunk features reused), ``uncached_int8`` is epoch-1/fresh-data with
-    the W8A8 trunk, and ``reference_faithful`` re-creates the reference's
-    own configuration (train-mode BN, full trunk every step). Disable
-    with AIG_BENCH_LADDER=0. Rung failures degrade to null fields."""
+    in further child processes and merges them into the final JSON line
+    (``ladder`` fields), so BENCH_r*.json alone carries the context that
+    otherwise lives in docs/PERF.md: ``cached`` is the steady-state
+    production recipe (epochs 2+, frozen trunk features reused),
+    ``uncached_int8`` is epoch-1/fresh-data with the W8A8 trunk, and
+    ``reference_faithful`` re-creates the reference's own configuration
+    (train-mode BN, full trunk every step). Disable with
+    AIG_BENCH_LADDER=0. Rung failures degrade to null fields.
+
+    Everything is bounded by AIG_BENCH_BUDGET seconds of TOTAL wall
+    clock (default 1380 — the outer driver kills the whole bench at
+    ~30 min, and a killed bench records NO metric at all, which is
+    strictly worse than a metric without ladder fields). The primary
+    metric line prints (and flushes) the moment the primary rung
+    succeeds; if the ladder then completes within budget, the merged
+    line prints after it. Ladder rungs get ONE attempt each inside the
+    remaining budget and are skipped outright when <150 s remain."""
     attempts = int(os.environ.get("AIG_BENCH_ATTEMPTS", "3"))
-    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "1200"))
-    rec = _child_bench({}, attempts, timeout)
+    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "600"))
+    budget = float(os.environ.get("AIG_BENCH_BUDGET", "1380"))
+    t0 = time.monotonic()
+    remaining = lambda: budget - (time.monotonic() - t0)
+    rec = _child_bench({}, attempts, min(timeout, max(remaining(), 60.0)))
     if rec is None:
         print(f"bench: all {attempts} attempts failed", file=sys.stderr)
         return 1
+    # emit the headline NOW: a later wedge/kill must never cost the round
+    # its metric (round-3 lost its BENCH to exactly that)
+    print(json.dumps(rec))
+    sys.stdout.flush()
 
     is_default = (
         os.environ.get("AIG_BENCH_SELFTEST") != "1"
@@ -567,23 +596,29 @@ def _run_with_watchdog() -> int:
         and os.environ.get("AIG_BENCH_LADDER", "1") == "1"
     )
     if is_default:
-        l_att = int(os.environ.get("AIG_BENCH_LADDER_ATTEMPTS", "2"))
-        l_to = float(os.environ.get("AIG_BENCH_LADDER_TIMEOUT", "900"))
-        int8 = _child_bench(
-            {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_QUANT": "int8"},
-            l_att, l_to,
-        )
-        faithful = _child_bench(
-            {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_BN": "train"},
-            l_att, l_to,
-        )
+        l_att = int(os.environ.get("AIG_BENCH_LADDER_ATTEMPTS", "1"))
+        l_to = float(os.environ.get("AIG_BENCH_LADDER_TIMEOUT", "420"))
+        rungs = {}
+        for name, env in (
+            ("uncached_int8",
+             {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_QUANT": "int8"}),
+            ("reference_faithful",
+             {"AIG_BENCH_CACHE": "0", "AIG_BENCH_TRUNK_BN": "train"}),
+        ):
+            left = remaining() - 30.0
+            if left < 150.0:
+                print(f"bench ladder: skipping {name} ({left:.0f}s left "
+                      "in budget)", file=sys.stderr)
+                rungs[name] = None
+                continue
+            rungs[name] = _child_bench(env, l_att, min(l_to, left))
         rec["ladder"] = {
             "cached": rec["value"],
-            "uncached_int8": int8["value"] if int8 else None,
-            "reference_faithful": faithful["value"] if faithful else None,
+            **{k: (v["value"] if v else None) for k, v in rungs.items()},
         }
-    print(json.dumps(rec))
-    sys.stdout.flush()
+        if any(rungs.values()):
+            print(json.dumps(rec))
+            sys.stdout.flush()
     return 0
 
 

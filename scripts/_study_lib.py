@@ -120,9 +120,10 @@ class Flagship:
     preserved), amplifying exactly the gradient the diagnosis found too
     weak. Reported metrics remain the reference's UNWEIGHTED MSE."""
 
-    def __init__(self, lr: float = 1e-3, blob_weight: float = 0.0):
-        self.resnet = ResNet50(dtype=jnp.bfloat16, freeze_trunk=True)
-        self.gen = UNetAcResNet(skips=1, dtype=jnp.bfloat16)
+    def __init__(self, lr: float = 1e-3, blob_weight: float = 0.0,
+                 dtype=jnp.bfloat16):
+        self.resnet = ResNet50(dtype=dtype, freeze_trunk=True)
+        self.gen = UNetAcResNet(skips=1, dtype=dtype)
         self.tx = optax.multi_transform(
             {"train": optax.adam(lr), "frozen": optax.set_to_zero()},
             GenerationTask.param_labels,

@@ -195,14 +195,17 @@ def test_bench_drives_production_trainer_step():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(
-        os.environ,
+    # drop every inherited AIG_BENCH_* knob first: a contaminated shell
+    # (e.g. AIG_BENCH_CACHE=0 or AIG_BENCH_MODE=ingest left over from a
+    # manual run) would silently change which step this test pins
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("AIG_BENCH_")}
+    env.update(
         AIG_BENCH_NO_WATCHDOG="1",
         AIG_BENCH_CPU_MESH="2",
         AIG_BENCH_CLIPS="1",  # per-chip: global batch = 2 on the 2-mesh
         AIG_BENCH_STEPS="1",
     )
-    env.pop("AIG_BENCH_SELFTEST", None)
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         env=env, capture_output=True, timeout=1800,
@@ -221,8 +224,9 @@ def test_bench_watchdog_kills_wedged_child():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, AIG_BENCH_ATTEMPTS="1", AIG_BENCH_TIMEOUT="1")
-    env.pop("AIG_BENCH_SELFTEST", None)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("AIG_BENCH_")}
+    env.update(AIG_BENCH_ATTEMPTS="1", AIG_BENCH_TIMEOUT="1")
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         env=env, capture_output=True, timeout=120,
