@@ -34,6 +34,14 @@ class VaeOutput(NamedTuple):
     mean: jnp.ndarray
     std: jnp.ndarray | None  # None in embedding/AE mode
     features: jnp.ndarray  # bottleneck feature map ("features" end point)
+    # pre-sigmoid logits of ``output`` where the family exposes them
+    # (None elsewhere). Consumed by logit-space losses: the reference's
+    # MSE gradient carries sigmoid'(logit), which underflows to exactly
+    # zero once Adam drives the background logits past ~-88
+    # (scripts/diag_collapse.py traces the resulting dead-sigmoid
+    # collapse on sparse targets), while BCE's (y - t) logit gradient
+    # self-corrects at any saturation depth.
+    logits: jnp.ndarray | None = None
 
 
 class UNetAcoustic(nn.Module):
@@ -150,9 +158,9 @@ class UNetAcResNet(nn.Module):
             up1 = jnp.concatenate([up1, conv1], axis=-1)
         conv6 = ConvConvPool((128, 128), name="layer6", dtype=dt, fused=fu)(up1)
         conv7 = ConvConvPool((64, 64), name="layer7", dtype=dt, fused=fu)(conv6)
-        out = layers.conv2d(self.channels, (3, 3), name="final", dtype=dt)(conv7)
-        out = nn.sigmoid(out)
-        return VaeOutput(out, z, mean, std, conv2)
+        logits = layers.conv2d(self.channels, (3, 3), name="final", dtype=dt)(conv7)
+        out = nn.sigmoid(logits)
+        return VaeOutput(out, z, mean, std, conv2, logits=logits)
 
 
 def tile_mfccmap(mfcc: jnp.ndarray, height: int = 36, width: int = 48) -> jnp.ndarray:

@@ -118,10 +118,24 @@ class Flagship:
     background term. ``blob_weight=L`` reweights the squared error by
     ``(1 + L * target_energy) / mean(...)`` (target-normalized, scale
     preserved), amplifying exactly the gradient the diagnosis found too
-    weak. Reported metrics remain the reference's UNWEIGHTED MSE."""
+    weak. Reported metrics remain the reference's UNWEIGHTED MSE.
+
+    ``recon="bce"`` is a second CLEARLY-FLAGGED DEVIATION (default
+    "mse" = the reference loss). diag_collapse.py traces the plateau's
+    true mechanism: with ~94% of the synthetic target near zero, every
+    decoder layer receives sign-consistent gradients and Adam (whose
+    per-step size never shrinks with the gradient) drives the
+    background logits ~-40/epoch into sigmoid saturation; past logit
+    ~-88 sigmoid' underflows to EXACTLY zero and training is
+    irreversibly dead by epoch ~5 in f32 and bf16 alike (the 0.016379
+    "plateau" is the all-zeros predictor: E[target^2]). Replacing
+    MSE+Huber with sigmoid cross-entropy moves the reconstruction
+    gradient to logit space — d/dlogit = (y - t) — which cannot vanish
+    at saturation and self-corrects any overshoot. Reported metrics
+    remain the reference's UNWEIGHTED MSE in output space."""
 
     def __init__(self, lr: float = 1e-3, blob_weight: float = 0.0,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, recon: str = "mse"):
         self.resnet = ResNet50(dtype=dtype, freeze_trunk=True)
         self.gen = UNetAcResNet(skips=1, dtype=dtype)
         self.tx = optax.multi_transform(
@@ -145,18 +159,26 @@ class Flagship:
                     {"params": p["generator"]}, tile_mfccmap(b.mfcc), feat,
                     rngs={"latent": key},
                 )
-                recon = out.output.astype(jnp.float32)
-                if blob_weight:
+                recon_img = out.output.astype(jnp.float32)
+                if recon == "bce":
+                    t = b.acoustic
+                    logit = out.logits.astype(jnp.float32)
+                    rec_loss = jnp.mean(
+                        t * -jax.nn.log_sigmoid(logit)
+                        + (1.0 - t) * -jax.nn.log_sigmoid(-logit)
+                    )
+                elif blob_weight:
                     w = 1.0 + blob_weight * jax.lax.stop_gradient(b.acoustic)
                     rec_loss = jnp.mean(
-                        w * jnp.square(b.acoustic - recon)
-                    ) / jnp.mean(w)
+                        w * jnp.square(b.acoustic - recon_img)
+                    ) / jnp.mean(w) + huber_tf(b.acoustic, recon_img)
                 else:
-                    rec_loss = mse_tf(b.acoustic, recon)
-                loss = (rec_loss + huber_tf(b.acoustic, recon)
+                    rec_loss = (mse_tf(b.acoustic, recon_img)
+                                + huber_tf(b.acoustic, recon_img))
+                loss = (rec_loss
                         + 1e-6 * jnp.mean(kl_diag_gaussian(out.mean, out.std))
                         + l2_regularization(p["resnet"], 5e-4))
-                return loss, (mut["batch_stats"], mse_tf(b.acoustic, recon))
+                return loss, (mut["batch_stats"], mse_tf(b.acoustic, recon_img))
 
             (loss, (new_stats, mse)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

@@ -39,10 +39,12 @@ dtr, dtr_act = lib.device_split(lib.load_split(lists["training"], "training"))
 dte, dte_act = lib.device_split(lib.load_split(lists["testing"], "testing"))
 
 for spec in RUNS:
-    dt_name, seed_s = spec.split(":")
+    parts = spec.split(":")
+    dt_name, seed_s = parts[0], parts[1]
+    recon = parts[2] if len(parts) > 2 else "mse"
     seed = int(seed_s)
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dt_name]
-    flag = lib.Flagship(dtype=dtype)
+    flag = lib.Flagship(dtype=dtype, recon=recon)
     resnet, gen = flag.resnet, flag.gen
 
     @jax.jit
@@ -54,29 +56,30 @@ for spec in RUNS:
         )
         out, inter = gen.apply(
             {"params": params["generator"]}, tile_mfccmap(b.mfcc), feat,
-            rngs={"latent": key}, capture_intermediates=True,
+            rngs={"latent": key},
+            capture_intermediates=lambda mdl, _m: mdl.name == "final",
         )
         logits = inter["intermediates"]["final"]["__call__"][0]
         logits = logits.astype(jnp.float32)
         y = out.output.astype(jnp.float32)
         mse = jnp.mean(jnp.square(b.acoustic - y))
-        # decoder-path magnitudes: where does the explosion grow?
-        mags = {}
-        for name in ("dense", "conv_dec", "layer4", "layer5", "upsample_1",
-                     "layer6", "layer7"):
-            node = inter["intermediates"].get(name)
-            if node is None:
-                continue
-            leaf = jax.tree.leaves(node)
-            mags[name] = jnp.max(jnp.stack(
-                [jnp.max(jnp.abs(l.astype(jnp.float32))) for l in leaf]
-            ))
+        # weight-scale proxies for where the explosion grows (activation
+        # capture chokes the remote compiler)
+        g = params["generator"]
+        mags = {
+            name: jnp.max(jnp.abs(leaf))
+            for name, leaf in (
+                ("dense_k", g["dense"]["kernel"]),
+                ("final_k", g["final"]["kernel"]),
+                ("final_b", g["final"]["bias"]),
+            )
+        }
         return (jnp.min(logits), jnp.mean(logits), jnp.max(logits),
                 jnp.mean((y == 0.0).astype(jnp.float32)), mse, mags)
 
     params, batch_stats, opt_state = flag.init(seed)
     sl = slice(0, min(lib.CHUNK, dte[0].shape[0]))
-    print(f"== {dt_name} seed {seed} ==", flush=True)
+    print(f"== {dt_name} seed {seed} recon={recon} ==", flush=True)
     dead_at = None
     for epoch in range(EPOCHS):
         params, batch_stats, opt_state, _ = flag.train_epochs(
@@ -94,6 +97,6 @@ for spec in RUNS:
                   f"({time.time()-t0:.0f}s)", flush=True)
         if frac0 > 0.999 and dead_at is None:
             dead_at = epoch
-    print(f"== {dt_name} seed {seed}: dead_at={dead_at} final mse {mse:.6f}",
-          flush=True)
+    print(f"== {dt_name} seed {seed} recon={recon}: dead_at={dead_at} "
+          f"final mse {mse:.6f}", flush=True)
 print(f"done {time.time()-t0:.0f}s", flush=True)

@@ -46,14 +46,21 @@ EVAL_EVERY = int(os.environ.get("AIG_PROTO_EVAL_EVERY", "25"))
 # converged at ~0.008: the gap is wide and bimodal)
 ESCAPE_MSE = float(os.environ.get("AIG_PROTO_ESCAPE_MSE", "0.013"))
 VIDEOS = int(os.environ.get("AIG_STUDY_VIDEOS", "8"))
-# CLEARLY-FLAGGED DEVIATION (off by default): energy-weighted recon loss
-# targeting the render-from-latent cliff — see _study_lib.Flagship.
-# When set, screen results land in screen_w{L}.jsonl and final.json
-# records the deviation.
+# CLEARLY-FLAGGED DEVIATIONS (off by default) — see _study_lib.Flagship:
+# AIG_PROTO_BLOB_WEIGHT: energy-weighted recon loss.
+# AIG_PROTO_RECON=bce: sigmoid cross-entropy recon term in logit space,
+#   the repair for the dead-sigmoid collapse diag_collapse.py traces
+#   (reference MSE+Huber gradients vanish exactly once Adam saturates
+#   the background logits; BCE self-corrects). Screen results land in
+#   deviation-suffixed jsonl files and final.json records the deviation.
 BLOB_WEIGHT = float(os.environ.get("AIG_PROTO_BLOB_WEIGHT", "0"))
-_SCREEN = (
-    "screen.jsonl" if not BLOB_WEIGHT else f"screen_w{BLOB_WEIGHT:g}.jsonl"
-)
+RECON = os.environ.get("AIG_PROTO_RECON", "mse")
+_SCREEN = "screen"
+if BLOB_WEIGHT:
+    _SCREEN += f"_w{BLOB_WEIGHT:g}"
+if RECON != "mse":
+    _SCREEN += f"_{RECON}"
+_SCREEN += ".jsonl"
 
 os.makedirs(OUT, exist_ok=True)
 t0 = time.time()
@@ -64,7 +71,7 @@ dte, dte_act = lib.device_split(lib.load_split(lists["testing"], "testing"))
 print(f"data on device: {dtr[0].shape[0]} train / {dte[0].shape[0]} test "
       f"frames ({time.time()-t0:.0f}s)", flush=True)
 
-flag = lib.Flagship(blob_weight=BLOB_WEIGHT)
+flag = lib.Flagship(blob_weight=BLOB_WEIGHT, recon=RECON)
 
 
 def screen():
@@ -112,29 +119,78 @@ def screen():
 
 def finish(results):
     """Retrain the best-validation seed to convergence and run the full
-    capability chain (study_synthetic's evaluation suite)."""
+    capability chain (study_synthetic's evaluation suite).
+
+    AIG_PROTO_FINISH_LR (optional): run the finish phase at a lower Adam
+    LR than the 1e-3 screen — Adam's scale-free step size makes the
+    late-phase trajectory wander at 1e-3 on this micro-benchmark
+    (diag_collapse.py), and the reference's own recipes pick LR per
+    phase via flags (main.py learning_rate)."""
     best = min(results, key=lambda r: r["test_mse"])
     seed = best["seed"]
+    finish_lr = os.environ.get("AIG_PROTO_FINISH_LR")
+    fin = flag
+    if finish_lr:
+        fin = lib.Flagship(lr=float(finish_lr), blob_weight=BLOB_WEIGHT,
+                           recon=RECON)
     print(f"best seed {seed} (screen test MSE {best['test_mse']}); "
-          f"retraining {FINISH_EPOCHS} epochs", flush=True)
-    params, batch_stats, opt_state = flag.init(seed)
+          f"retraining {FINISH_EPOCHS} epochs"
+          + (f" at lr {finish_lr}" if finish_lr else ""), flush=True)
+    params, batch_stats, opt_state = fin.init(seed)
 
+    # Best-validation gate, exactly the reference's reporting protocol
+    # (``/root/reference/trainer/trainer.py:301-313`` checkpoints at the
+    # best validation metric and ``test.bash`` evaluates THAT model, not
+    # the last epoch): snapshot params at the best held-out MSE seen,
+    # run the capability chain on the snapshot. At the 96-train-clip
+    # micro-scale the last epoch overfits hard (train 3e-4 / test 1.3e-2
+    # observed), so the gate is load-bearing, not cosmetic.
+    best_snap = {"mse": float("inf"), "params": None, "stats": None,
+                 "epoch": -1}
     stop_at = [None]
 
     def on_eval(epoch, train_mse, test_mse):
         print(f"  finish epoch {epoch}: train {train_mse:.5f} "
               f"test {test_mse:.5f} ({time.time()-t0:.0f}s)", flush=True)
+        if test_mse < best_snap["mse"]:
+            best_snap.update(
+                mse=test_mse, epoch=epoch,
+                params=jax.tree.map(lambda x: x.copy(), _cur[0]),
+                stats=jax.tree.map(lambda x: x.copy(), _cur[1]),
+            )
         if test_mse < 0.009:
             stop_at[0] = epoch
         return stop_at[0] is not None and epoch >= stop_at[0] + 50
 
-    params, batch_stats, opt_state, _ = flag.train_epochs(
-        params, batch_stats, opt_state, dtr, dtr_act, seed=seed,
-        epochs=FINISH_EPOCHS, eval_every=EVAL_EVERY, dte=dte, dte_act=dte_act,
-        on_eval=on_eval,
-    )
+    # train_epochs calls on_eval before returning updated params, so
+    # track the live (params, batch_stats) via a mutable closure the
+    # epoch loop refreshes
+    _cur = [params, batch_stats]
 
-    tm, ious, recon_test = flag.test_metrics_chunked(
+    ep_per_round = int(os.environ.get("AIG_PROTO_FINISH_EVAL_EVERY",
+                                      str(min(EVAL_EVERY, 10))))
+    done_epochs = 0
+    stop = False
+    shuffle_rng = np.random.default_rng(seed)  # continuous across chunks
+    while done_epochs < FINISH_EPOCHS and not stop:
+        n = min(ep_per_round, FINISH_EPOCHS - done_epochs)
+        params, batch_stats, opt_state, mse = fin.train_epochs(
+            params, batch_stats, opt_state, dtr, dtr_act, seed=seed,
+            epochs=n, start_epoch=done_epochs, rng=shuffle_rng,
+        )
+        done_epochs += n
+        _cur[0], _cur[1] = params, batch_stats
+        tm_e, _, _ = fin.test_metrics_chunked(
+            params, batch_stats, dte, dte_act, jax.random.key(9)
+        )
+        stop = on_eval(done_epochs - 1, float(jax.device_get(mse)), tm_e)
+
+    if best_snap["params"] is not None:
+        params, batch_stats = best_snap["params"], best_snap["stats"]
+        print(f"best-val snapshot: epoch {best_snap['epoch']} "
+              f"test MSE {best_snap['mse']:.6f}", flush=True)
+
+    tm, ious, recon_test = fin.test_metrics_chunked(
         params, batch_stats, dte, dte_act, jax.random.key(9)
     )
     fr, auc = lib.localization_summary(ious)
@@ -191,7 +247,7 @@ def finish(results):
     acc_real = float(dcn_acc(dcn_real, b_te.acoustic, dte_act))
     acc_gen = float(dcn_acc(dcn_real, jax.device_put(recon_test), dte_act))
 
-    recon_train = flag.generate_chunked(
+    recon_train = fin.generate_chunked(
         params, batch_stats, dtr, dtr_act, jax.random.key(11)
     )
     dcn_gen = train_dcn(jax.device_put(recon_train), 5)
@@ -200,11 +256,13 @@ def finish(results):
     final = {
         "protocol": {
             "blob_weight_deviation": BLOB_WEIGHT,
+            "recon_deviation": RECON,
             "seeds_screened": len(results),
             "escaped_seeds": [r["seed"] for r in results if r["escaped"]],
             "best_seed": seed,
             "screen_epochs": EPOCHS,
             "finish_epochs": FINISH_EPOCHS,
+            "best_val_epoch": best_snap["epoch"],
         },
         "test_mse": round(float(tm), 6),
         "auc": round(auc, 4),

@@ -56,6 +56,22 @@ def test_unet_acresnet_shapes(skips):
     assert out.features.shape == (2, 12, 16, 145)  # 133 + 12 concat
 
 
+def test_unet_acresnet_exposes_presigmoid_logits():
+    """`VaeOutput.logits` must be the exact pre-sigmoid of `output`: the
+    logit-space BCE recipe (scripts/_study_lib.Flagship recon='bce', the
+    dead-sigmoid-collapse repair) depends on sigmoid(logits) == output."""
+    m = UNetAcResNet(skips=1)
+    mfccmap = tile_mfccmap(jax.random.uniform(jax.random.key(5), (2, 12)))
+    feat = jax.random.uniform(jax.random.key(6), (2, 12, 16, 12))
+    var = m.init(RNGS, mfccmap, feat)
+    out = m.apply(var, mfccmap, feat, rngs={"latent": jax.random.key(2)})
+    assert out.logits is not None and out.logits.shape == out.output.shape
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(out.logits)), np.asarray(out.output),
+        rtol=0, atol=1e-7,
+    )
+
+
 def test_unet_acresnet_ae_mode():
     m = UNetAcResNet(embedding=True)
     mfccmap = tile_mfccmap(jax.random.uniform(jax.random.key(3), (2, 12)))
