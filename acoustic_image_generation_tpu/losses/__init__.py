@@ -12,6 +12,7 @@ from acoustic_image_generation_tpu.losses.recon import (
     huber_tf,
     kl_diag_gaussian,
     mse_tf,
+    sigmoid_ce_logits,
 )
 from acoustic_image_generation_tpu.losses.regularization import l2_regularization
 
@@ -25,5 +26,6 @@ __all__ = [
     "huber_tf",
     "kl_diag_gaussian",
     "mse_tf",
+    "sigmoid_ce_logits",
     "l2_regularization",
 ]

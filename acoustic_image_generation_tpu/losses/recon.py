@@ -30,6 +30,27 @@ def huber_tf(labels, predictions, delta: float = 1.0) -> jnp.ndarray:
     return jnp.mean(0.5 * quadratic**2 + delta * linear)
 
 
+def sigmoid_ce_logits(labels, logits) -> jnp.ndarray:
+    """``tf.nn.sigmoid_cross_entropy_with_logits`` (mean reduction):
+    elementwise binary cross-entropy computed stably in LOGIT space,
+    ``max(l,0) - l*t + log1p(exp(-|l|))`` == ``t*-logsigmoid(l) +
+    (1-t)*-logsigmoid(-l)``.
+
+    Not part of the reference's generation loss (``mfcctrainer.py:46-62``
+    uses MSE+Huber on the sigmoid output) — provided as the opt-in
+    reconstruction term for sparse targets, where the MSE gradient's
+    ``sigmoid'(l)`` factor underflows to exactly zero once Adam drives
+    background logits past ~-88 and training dies (the dead-sigmoid
+    collapse; docs/RESULTS.md, scripts/diag_collapse.py). The BCE
+    gradient w.r.t. the logit is ``sigmoid(l) - t``: bounded, never
+    identically zero, self-correcting at any saturation depth."""
+    l = logits.astype(jnp.float32)
+    t = labels.astype(jnp.float32)
+    return jnp.mean(
+        jnp.maximum(l, 0.0) - l * t + jnp.log1p(jnp.exp(-jnp.abs(l)))
+    )
+
+
 def kl_diag_gaussian(mean, std, eps: float = 1e-8) -> jnp.ndarray:
     """Per-sample KL(N(mean, std) || N(0, 1)) in the reference's exact form:
     ``0.5 * sum(mean^2 + std^2 - log(eps + std^2) - 1, axis=1)``

@@ -40,6 +40,7 @@ from acoustic_image_generation_tpu.losses import (
     kl_diag_gaussian,
     l2_regularization,
     mse_tf,
+    sigmoid_ce_logits,
 )
 from acoustic_image_generation_tpu.models import ResNet50, UNetAcResNet
 from acoustic_image_generation_tpu.models.unet_ac import tile_mfccmap
@@ -161,12 +162,7 @@ class Flagship:
                 )
                 recon_img = out.output.astype(jnp.float32)
                 if recon == "bce":
-                    t = b.acoustic
-                    logit = out.logits.astype(jnp.float32)
-                    rec_loss = jnp.mean(
-                        t * -jax.nn.log_sigmoid(logit)
-                        + (1.0 - t) * -jax.nn.log_sigmoid(-logit)
-                    )
+                    rec_loss = sigmoid_ce_logits(b.acoustic, out.logits)
                 elif blob_weight:
                     w = 1.0 + blob_weight * jax.lax.stop_gradient(b.acoustic)
                     rec_loss = jnp.mean(

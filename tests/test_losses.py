@@ -12,6 +12,7 @@ from acoustic_image_generation_tpu.losses import (
     mse_tf,
     nca_loss,
     pairwise_sq_distances,
+    sigmoid_ce_logits,
     softmax_cross_entropy,
     triplet_all,
     triplet_hard,
@@ -117,6 +118,45 @@ def test_softmax_ce_and_accuracy():
     expected = -np.mean([np.log(p[0, 0]), np.log(p[1, 2])])
     assert float(softmax_cross_entropy(jnp.asarray(labels), jnp.asarray(logits))) == pytest.approx(expected, rel=1e-5)
     assert float(accuracy(jnp.asarray(logits), jnp.asarray(labels))) == pytest.approx(0.5)
+
+
+def test_sigmoid_ce_logits_matches_torch_oracle():
+    """Oracle: torch.nn.functional.binary_cross_entropy_with_logits (the
+    same math as tf.nn.sigmoid_cross_entropy_with_logits). Includes
+    extreme logits (+-500) where a naive log(sigmoid(l)) would produce
+    inf/nan — the stable form must stay finite and exact."""
+    import torch
+
+    logits = np.concatenate(
+        [rng.normal(0, 3, 500), np.array([-500.0, -88.0, 88.0, 500.0])]
+    ).astype(np.float32)
+    labels = np.concatenate(
+        [rng.uniform(0, 1, 500), np.array([0.0, 1.0, 0.0, 1.0])]
+    ).astype(np.float32)
+    expected = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(labels)
+    ).item()
+    got = float(sigmoid_ce_logits(jnp.asarray(labels), jnp.asarray(logits)))
+    assert np.isfinite(got)
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_sigmoid_ce_gradient_alive_at_saturation():
+    """The collapse-repair property: at logit -500 the MSE gradient is
+    exactly zero (sigmoid' underflows) but the BCE logit-gradient is
+    (sigmoid(l) - t) = -t, still full-strength."""
+    import jax
+
+    labels = jnp.asarray([1.0, 0.0])
+    g_bce = jax.grad(
+        lambda l: sigmoid_ce_logits(labels, l)
+    )(jnp.asarray([-500.0, -500.0]))
+    # d/dl mean BCE = (sigmoid(l) - t)/n = (0 - 1)/2 and (0 - 0)/2
+    np.testing.assert_allclose(np.asarray(g_bce), [-0.5, 0.0], atol=1e-7)
+    g_mse = jax.grad(
+        lambda l: mse_tf(labels, jax.nn.sigmoid(l))
+    )(jnp.asarray([-500.0, -500.0]))
+    np.testing.assert_allclose(np.asarray(g_mse), [0.0, 0.0], atol=0)
 
 
 def test_l2_regularization_kernels_only():
