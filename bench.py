@@ -575,7 +575,10 @@ def _run_with_watchdog() -> int:
     line prints after it. Ladder rungs get ONE attempt each inside the
     remaining budget and are skipped outright when <150 s remain."""
     attempts = int(os.environ.get("AIG_BENCH_ATTEMPTS", "3"))
-    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "600"))
+    # 720s per primary attempt: a fully cold remote compile of the cached
+    # step runs ~5-7 min on the tunneled chip, and killing mid-compile
+    # forfeits the work (the remote compile may not reach the cache)
+    timeout = float(os.environ.get("AIG_BENCH_TIMEOUT", "720"))
     budget = float(os.environ.get("AIG_BENCH_BUDGET", "1380"))
     t0 = time.monotonic()
     remaining = lambda: budget - (time.monotonic() - t0)
