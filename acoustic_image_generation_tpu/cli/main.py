@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--margin", type=float, default=0.2)
     p.add_argument("--MSE", type=int, default=1)
     p.add_argument("--huber_loss", type=int, default=1)
+    # NON-REFERENCE opt-in (no upstream twin): logit-space sigmoid
+    # cross-entropy recon term — the dead-sigmoid-collapse repair for
+    # sparse targets (docs/RESULTS.md; typically with --MSE 0
+    # --huber_loss 0)
+    p.add_argument("--bce_loss", type=int, default=0)
     # bookkeeping (main.py:41-45, 58-60)
     p.add_argument("--exp_name", default="exp")
     p.add_argument("--checkpoint_dir", default="checkpoints")
@@ -181,6 +186,7 @@ def config_from_args(args) -> ExperimentConfig:
             margin=args.margin,
             mse=bool(args.MSE),
             huber=bool(args.huber_loss),
+            bce=bool(args.bce_loss),
         ),
         run=RunConfig(
             mode=args.mode,

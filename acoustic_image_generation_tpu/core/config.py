@@ -174,6 +174,15 @@ class OptimConfig:
     margin: float = 0.2
     mse: bool = True
     huber: bool = True
+    # NON-REFERENCE opt-in: add a sigmoid cross-entropy reconstruction
+    # term computed in logit space (losses.sigmoid_ce_logits). The
+    # reference's MSE(+Huber)-through-sigmoid gradient carries a
+    # sigmoid'(logit) factor that underflows to exactly zero once Adam
+    # saturates the output on sparse targets (the dead-sigmoid collapse,
+    # docs/RESULTS.md); BCE's (y - t) logit-gradient self-corrects.
+    # Typically used with mse=False, huber=False (the reported MSE
+    # metric is unchanged either way).
+    bce: bool = False
     # resnet_v1 arg scope weight decay (vision.py:54); contributes to the
     # total loss exactly like tf.losses.get_total_loss() did.
     resnet_weight_decay: float = 5e-4

@@ -23,6 +23,7 @@ from acoustic_image_generation_tpu.data.preprocess import Batch
 from acoustic_image_generation_tpu.losses import (
     huber_tf,
     kl_diag_gaussian,
+    sigmoid_ce_logits,
     l2_regularization,
     mse_tf,
 )
@@ -222,6 +223,10 @@ class GenerationTask:
             hub = huber_tf(target, recon)
             metrics["huber"] = hub
             total = total + hub
+        if cfg.bce:
+            ce = sigmoid_ce_logits(target, out.logits)
+            metrics["bce"] = ce
+            total = total + ce
         if not self.cfg.model.ae:
             kl = cfg.latent_loss * jnp.mean(kl_diag_gaussian(out.mean, out.std))
             metrics["latent_loss"] = kl

@@ -128,6 +128,48 @@ def test_generation_step_and_eval(tiny_dataset, tmp_path):
 
 
 @pytest.mark.slow
+def test_generation_bce_loss_option(tiny_dataset, tmp_path):
+    """OptimConfig.bce (non-reference opt-in, the dead-sigmoid-collapse
+    repair): the production GenerationTask trains on the logit-space CE
+    term; the reported mse metric stays the reference's output-space
+    MSE; the total decomposes as bce + latent_loss + regularization
+    when mse/huber are off."""
+    import dataclasses
+
+    import jax
+
+    cfg = make_config(
+        tmp_path, embedding=True, mfcc=True, num_skip_conn=1,
+        resnet_units=(1, 1, 1, 1),
+    )
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, mse=False, huber=False,
+                                       bce=True)
+    )
+    loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    for raw in loader.batches(0):
+        break
+    state = trainer.init_state(raw)
+    p_before = jax.device_get(state.params)  # state buffers are donated
+    s1, metrics = trainer.train_step(state, raw)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["bce"]) and m["bce"] > 0
+    assert np.isfinite(m["mse"])  # still reported, not part of the total
+    assert m["loss"] == pytest.approx(
+        m["bce"] + m["latent_loss"] + m["regularization"], rel=1e-5
+    )
+    gen_changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_before["generator"]),
+            jax.tree_util.tree_leaves(jax.device_get(s1.params)["generator"]),
+        )
+    )
+    assert gen_changed
+
+
+@pytest.mark.slow
 def test_fsdp_shards_state_across_mesh(tiny_dataset, tmp_path):
     """ZeRO-style state sharding: large params + Adam moments split over the
     data axis; a train step runs and keeps the layout."""
