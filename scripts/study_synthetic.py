@@ -48,7 +48,9 @@ n_tr, n_te = dtr[0].shape[0], dte[0].shape[0]
 print(f"device data: {n_tr} train frames, {n_te} test frames", flush=True)
 
 # ------------------------------------------------------------- flagship
-flag = lib.Flagship()
+# AIG_STUDY_RECON=bce: the flagged logit-space CE deviation (the
+# dead-sigmoid-collapse repair, docs/RESULTS.md); default = reference loss
+flag = lib.Flagship(recon=os.environ.get("AIG_STUDY_RECON", "mse"))
 params, batch_stats, opt_state = flag.init(SEED)
 BATCH = lib.BATCH
 
