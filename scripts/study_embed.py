@@ -68,12 +68,17 @@ n_tr = dtr[0].shape[0]
 print(f"{n_tr//12} train / {dte[0].shape[0]//12} test clips ({time.time()-t0:.0f}s)",
       flush=True)
 
+# AIG_EMBED_RECON=bce: the flagged logit-space CE deviation
+# (OptimConfig.bce) — repairs the dead-sigmoid collapse of the VIDEO
+# VAE on the synthetic benchmark's near-black frames (docs/RESULTS.md);
+# default = reference MSE+Huber loss
+BCE = os.environ.get("AIG_EMBED_RECON", "mse") == "bce"
 cfg = ExperimentConfig(
     data=DataConfig(batch_size=16, sample_length=1,
                     train_file=lists["training"],
                     normalize_spectrogram=True),
     model=ModelConfig(embedding=True),  # triplet variant
-    optim=OptimConfig(learning_rate=1e-4, num_epochs=1),
+    optim=OptimConfig(learning_rate=1e-4, num_epochs=1, bce=BCE),
     run=RunConfig(exp_name="embed_study", checkpoint_dir="/tmp/aig_embed_ck", seed=SEED),
     parallel=ParallelConfig(compute_dtype="bfloat16"),
 )

@@ -848,36 +848,63 @@ def test_fit_logs_media_when_tensorboard_set(tiny_dataset, tmp_path):
 
 @pytest.mark.slow
 def test_tensor_parallel_shards_channels(tiny_dataset, tmp_path):
-    """Tensor parallelism (parallel.tp_sharding): wide output-channel dims
-    split over the model axis of a (data, model) mesh; Adam moments
-    inherit the layout; a train step runs, keeps it, and stays finite."""
+    """Tensor parallelism (parallel.tp_sharding): wide-output-channel
+    4-D CONV kernels split over the model axis of a (data, model) mesh;
+    2-D dense kernels stay replicated (the round-3 rule — column-
+    splitting the latent-bordering denses forces involuntary full
+    rematerialization, mesh.py:148-158); Adam moments inherit the
+    layout; a train step runs, keeps it, and stays finite. Uses the
+    flagship (reduced trunk): its ResNet convs are the >=256-channel
+    tensors the rule exists for."""
     import jax
     from jax.sharding import PartitionSpec as P
 
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=8, sample_length=1),
-        model=ModelConfig(encoder_type="Ac"),
-        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
-        run=RunConfig(exp_name="tp", checkpoint_dir=str(tmp_path)),
-        parallel=ParallelConfig(compute_dtype="float32", tensor_parallel=2),
+    cfg = make_config(
+        tmp_path, embedding=True, mfcc=True, num_skip_conn=1,
+        resnet_units=(1, 1, 1, 1),
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, parallel=dataclasses.replace(cfg.parallel, tensor_parallel=2)
     )
     loader = AcousticImageDataLoader(tiny_dataset["training"], "training", 8)
-    trainer = Trainer(ReconstructTask(cfg), cfg)
+    trainer = Trainer(GenerationTask(cfg), cfg)
     assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
     for raw in loader.batches(0):
         break
     state = trainer.init_state(raw)
 
-    big = state.params["model"]["dense"]["kernel"]  # (150, 2304)
-    assert big.sharding.spec == P(None, "model")
-    small = state.params["model"]["final"]["bias"]
-    assert small.sharding.spec == P()
-    mu_big = state.opt_state[0].mu["model"]["dense"]["kernel"]
-    assert mu_big.sharding.spec == P(None, "model")
-    new_state, metrics = trainer.train_step(state, raw)
-    assert new_state.params["model"]["dense"]["kernel"].sharding.spec == P(
-        None, "model"
+    def kernels(tree, pred):
+        out = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            if pred(path, leaf):
+                out.append((jax.tree_util.keystr(path), leaf))
+        return out
+
+    wide_conv = kernels(
+        state.params,
+        lambda p, l: l.ndim == 4 and l.shape[-1] >= 256 and l.shape[-1] % 2 == 0,
     )
+    assert wide_conv  # the reduced trunk still has 256..2048-ch convs
+    for name, leaf in wide_conv:
+        assert leaf.sharding.spec == P(None, None, None, "model"), name
+    dense_2d = kernels(state.params, lambda p, l: l.ndim == 2)
+    assert dense_2d
+    for name, leaf in dense_2d:
+        assert leaf.sharding.spec == P(), name
+
+    # The flagship's wide convs all sit in the FROZEN trunk
+    # (set_to_zero carries no moments), so there are no wide Adam-moment
+    # tensors to check here; the FSDP test covers moment-layout
+    # inheritance and dryrun_multichip executes the TP step at depth.
+
+    new_state, metrics = trainer.train_step(state, raw)
+    wide_after = kernels(
+        new_state.params, lambda p, l: l.ndim == 4 and l.shape[-1] >= 256
+    )
+    for name, leaf in wide_after:
+        assert leaf.sharding.spec == P(None, None, None, "model"), name
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
 
 
