@@ -26,12 +26,23 @@ from acoustic_image_generation_tpu.dsp.energy import find_logen
 DEFAULT_THRESHOLDS = np.round(np.arange(0.0, 1.01, 0.1), 1)
 
 
-def energy_mask(acoustic: jnp.ndarray) -> jnp.ndarray:
+def energy_mask(acoustic: jnp.ndarray, *, invert: bool = False) -> jnp.ndarray:
     """(N,36,48,12) acoustic/MFCC image -> boolean (N,36,48) mask of
-    above-mean energy (``iouenergythreshold.py:186-190``)."""
+    above-mean energy (``iouenergythreshold.py:186-190``).
+
+    ``invert=True`` selects the BELOW-mean region instead: real dualcam
+    acoustic images hold MFCC coefficients, for which ``find_logen``'s
+    ``1/sum(exp(..))`` inversion peaks AT the source (the reference
+    convention, default); the synthetic benchmark stores blob energy
+    directly as channel amplitude, which that inversion anti-correlates
+    (measured: argmin of find_logen == the blob pixel), so
+    source-region masks on synthetic data are the below-mean set.
+    Real-vs-generated IoU is invariant to the choice (both sides invert
+    identically — complements agree iff the blobs agree); only
+    video-space consumers (the Flickr box sweep) need the flag."""
     emap = find_logen(acoustic)
     mean = jnp.mean(emap, axis=(-2, -1), keepdims=True)
-    return emap > mean
+    return emap < mean if invert else emap > mean
 
 
 def iou_real_vs_generated(real: jnp.ndarray, generated: jnp.ndarray) -> jnp.ndarray:
@@ -84,11 +95,14 @@ def render_box_map(
     return jnp.minimum(maps, 1.0)
 
 
-def box_weighted_iou(generated: jnp.ndarray, box_map: jnp.ndarray) -> jnp.ndarray:
+def box_weighted_iou(
+    generated: jnp.ndarray, box_map: jnp.ndarray, *, invert: bool = False
+) -> jnp.ndarray:
     """Per-image weighted IoU of the generated energy mask vs annotated
     boxes (``showimages_bb.py:297-320``). ``box_map``: (N,224,298) in
-    {0, .5, 1}."""
-    mask = energy_mask(generated).astype(jnp.float32)  # (N,36,48)
+    {0, .5, 1}. ``invert`` selects the synthetic-benchmark energy
+    convention (see :func:`energy_mask`)."""
+    mask = energy_mask(generated, invert=invert).astype(jnp.float32)  # (N,36,48)
     n = mask.shape[0]
     big = jax.image.resize(mask, (n, 224, 298), method="bilinear")
     m2 = (big > 0.5).astype(jnp.float32)

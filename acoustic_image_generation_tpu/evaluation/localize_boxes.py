@@ -15,9 +15,16 @@ from acoustic_image_generation_tpu.evaluation import iou as iou_mod
 from acoustic_image_generation_tpu.evaluation.iou import box_weighted_iou, render_box_map
 
 
-def run_box_iou_sweep(task, state, loader, run_dir: str | None = None, *, seed: int = 0):
+def run_box_iou_sweep(
+    task, state, loader, run_dir: str | None = None, *, seed: int = 0,
+    invert: bool = False,
+):
     """``task`` is a GenerationTask-like object; ``loader`` must yield
-    RawBatches with box extras (``include_boxes=True``)."""
+    RawBatches with box extras (``include_boxes=True``). ``invert``
+    selects the synthetic-benchmark energy convention (blob stored as
+    channel amplitude -> source region is find_logen's BELOW-mean set;
+    see ``evaluation.iou.energy_mask``); real dualcam/Flickr data keeps
+    the reference's above-mean default."""
 
     @jax.jit
     def step(params, batch_stats, raw, boxes, key):
@@ -32,7 +39,7 @@ def run_box_iou_sweep(task, state, loader, run_dir: str | None = None, *, seed: 
             flat(boxes["xmin"]), flat(boxes["xmax"]),
             flat(boxes["ymin"]), flat(boxes["ymax"]),
         )
-        return box_weighted_iou(out.output, box_map)
+        return box_weighted_iou(out.output, box_map, invert=invert)
 
     ious = []
     for i, raw_batch in enumerate(loader.batches(0)):

@@ -77,8 +77,9 @@ class UNetAcoustic(nn.Module):
         """Stage-2: VAE head + decoder over a (possibly associator-swapped)
         feature map."""
         z, mean, std = self.vae(conv2, sample=sample)
-        out = self.decode(z)
-        return VaeOutput(out, z, mean, std, conv2)
+        logits = self._decode_logits(z)
+        return VaeOutput(nn.sigmoid(logits), z, mean, std, conv2,
+                         logits=logits)
 
     def encode(self, x, *, sample: bool = True):
         """Encoder half, returning (z, mean, std, features)."""
@@ -89,13 +90,16 @@ class UNetAcoustic(nn.Module):
     def decode(self, z) -> jnp.ndarray:
         """Decoder half (``unet_noconc.py:67-79``); separately callable for
         the two-stage / associator recipes (``unet_noconc2.py``)."""
+        return nn.sigmoid(self._decode_logits(z))
+
+    def _decode_logits(self, z) -> jnp.ndarray:
         net = nn.relu(self.dense_dec(z))
         net = net.reshape(-1, 12, 16, 12)
         net = nn.relu(self.conv_dec(net))
         up1 = self.upsample_1(net)
         conv4 = self.layer4(up1)
         conv5 = self.layer5(conv4)
-        return nn.sigmoid(self.final(conv5))
+        return self.final(conv5)
 
     def __call__(self, x, *, external_latent=None, sample: bool = True, train: bool = True) -> VaeOutput:
         del train  # no BN in this family
@@ -107,8 +111,9 @@ class UNetAcoustic(nn.Module):
                 z = reparameterize(self.make_rng("latent"), mean2, std2)
             else:
                 z = mean2
-        out = self.decode(z)
-        return VaeOutput(out, z, mean, std, features)
+        logits = self._decode_logits(z)
+        return VaeOutput(nn.sigmoid(logits), z, mean, std, features,
+                         logits=logits)
 
 
 class UNetAcResNet(nn.Module):

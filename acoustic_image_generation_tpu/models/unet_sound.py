@@ -94,6 +94,9 @@ class UNetSound(nn.Module):
         return self.layer5(pool4, train=train)
 
     def decode(self, z, *, train: bool = True) -> jnp.ndarray:
+        return nn.sigmoid(self._decode_logits(z, train=train))
+
+    def _decode_logits(self, z, *, train: bool = True) -> jnp.ndarray:
         assert self.variant == "large"
         net = nn.relu(self.dense_dec(z))
         net = net.reshape(-1, 12, 16, 10)
@@ -110,13 +113,14 @@ class UNetSound(nn.Module):
         up = self.upsample_12(up)
         up = self.layer12(up, train=train)
         up = self.layer13(up, train=train)
-        return nn.sigmoid(self.final(up))
+        return self.final(up)
 
     def from_features(self, conv5, *, sample: bool = True, train: bool = True) -> VaeOutput:
         assert self.variant == "large"
         z, mean, std = self.vae(conv5, sample=sample)
-        out = self.decode(z, train=train)
-        return VaeOutput(out, z, mean, std, conv5)
+        logits = self._decode_logits(z, train=train)
+        return VaeOutput(nn.sigmoid(logits), z, mean, std, conv5,
+                         logits=logits)
 
     # --------------------------------------------------------------- call
 
@@ -153,5 +157,6 @@ class UNetSound(nn.Module):
         up = self.layer8(jnp.concatenate([up, conv2], -1), train=train)
         up = self.upsample_9(up)
         up = self.layer9(jnp.concatenate([up, conv1], -1), train=train)
-        out = nn.sigmoid(self.final(up))
-        return VaeOutput(out, z, mean, variance, conv5)
+        logits = self.final(up)
+        return VaeOutput(nn.sigmoid(logits), z, mean, variance, conv5,
+                         logits=logits)

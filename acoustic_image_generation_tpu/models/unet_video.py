@@ -65,6 +65,9 @@ class UNetVideo(nn.Module):
         return self.layer5(pool3, train=train)
 
     def decode(self, z, *, train: bool = True) -> jnp.ndarray:
+        return nn.sigmoid(self._decode_logits(z, train=train))
+
+    def _decode_logits(self, z, *, train: bool = True) -> jnp.ndarray:
         net = nn.relu(self.dense_dec(z))
         net = net.reshape(-1, 12, 16, 50)
         net = nn.relu(self.conv_dec(net))
@@ -78,12 +81,13 @@ class UNetVideo(nn.Module):
         up = self.upsample_10(up)
         up = self.layer10(up, train=train)
         up = self.layer11(up, train=train)
-        return nn.sigmoid(self.final(up))
+        return self.final(up)
 
     def from_features(self, conv5, *, sample: bool = True, train: bool = True) -> VaeOutput:
         z, mean, std = self.vae(conv5, sample=sample)
-        out = self.decode(z, train=train)
-        return VaeOutput(out, z, mean, std, conv5)
+        logits = self._decode_logits(z, train=train)
+        return VaeOutput(nn.sigmoid(logits), z, mean, std, conv5,
+                         logits=logits)
 
     def __call__(self, x, *, sample: bool = True, train: bool = True) -> VaeOutput:
         conv5 = self.features(x, train=train)
@@ -195,7 +199,6 @@ class UNetVideoSkip(nn.Module):
         conv8 = ccp((32, 32), "layer8")(jnp.concatenate([up8, conv2], -1), train=train)
         up9 = layers.ConvTransposeTF(8, (2, 2), (2, 2), name="upsample_9", dtype=dt)(conv8)
         conv9 = ccp((8, 8), "layer9")(jnp.concatenate([up9, conv1], -1), train=train)
-        out = nn.sigmoid(
-            layers.conv2d(3, (1, 1), name="final", dtype=dt)(conv9)
-        )
-        return VaeOutput(out, z, mean, variance, conv5)
+        logits = layers.conv2d(3, (1, 1), name="final", dtype=dt)(conv9)
+        return VaeOutput(nn.sigmoid(logits), z, mean, variance, conv5,
+                         logits=logits)

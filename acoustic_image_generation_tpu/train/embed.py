@@ -36,6 +36,7 @@ from acoustic_image_generation_tpu.data.preprocess import Batch
 from acoustic_image_generation_tpu.dsp.spectrogram import stft_magnitude
 from acoustic_image_generation_tpu.losses import (
     huber_tf,
+    sigmoid_ce_logits,
     kl_diag_gaussian,
     l2_regularization,
     mse_tf,
@@ -225,7 +226,23 @@ class EmbedTask:
             l2_regularization(params["audio"], 8e-5)
             + l2_regularization(params["video"], 7e-5)
         )
-        total = mse + hub + latent_term + metric_term + reg
+        if self.cfg.optim.bce:
+            # NON-REFERENCE opt-in (OptimConfig.bce): logit-space sigmoid
+            # cross-entropy replaces MSE+Huber as the reconstruction term
+            # of all three VAEs. On sparse targets (the synthetic video's
+            # near-black frames especially) the MSE-through-sigmoid
+            # gradient dies by saturation exactly as in the generation
+            # recipe (docs/RESULTS.md dead-sigmoid collapse); mse/huber
+            # stay in metrics for comparability.
+            ce = (
+                sigmoid_ce_logits(ac, ac_out.logits)
+                + sigmoid_ce_logits(spec, au_out.logits)
+                + sigmoid_ce_logits(video, vi_out.logits)
+            )
+            metrics["bce"] = ce
+            total = ce + latent_term + metric_term + reg
+        else:
+            total = mse + hub + latent_term + metric_term + reg
         metrics["regularization"] = reg
         metrics["loss"] = total
         return total, metrics, new_stats

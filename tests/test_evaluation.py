@@ -68,6 +68,23 @@ def test_energy_mask_shape():
     assert m.dtype == jnp.bool_
 
 
+def test_energy_mask_invert_selects_amplitude_blob():
+    """Synthetic-benchmark convention: blob energy stored as channel
+    AMPLITUDE anti-correlates with find_logen's 1/sum(exp) inversion —
+    the source region is the BELOW-mean set (invert=True); the
+    reference's above-mean default selects the complement. Both masks
+    partition the same field, so real-vs-generated IoU is unaffected."""
+    yy, xx = np.mgrid[:36, :48].astype(np.float32)
+    blob = np.exp(-(((yy - 12) ** 2) + ((xx - 30) ** 2)) / (2 * 4.0**2))
+    img = (blob[None, :, :, None] * np.ones(12, np.float32)
+           + 0.02 * rng.random((1, 36, 48, 12)).astype(np.float32))
+    m_ref = np.asarray(energy_mask(jnp.asarray(img)))
+    m_inv = np.asarray(energy_mask(jnp.asarray(img), invert=True))
+    assert not m_ref[0, 12, 30]  # reference mask excludes the blob peak
+    assert m_inv[0, 12, 30]  # inverted mask covers it
+    assert m_inv[0].mean() < 0.5 < m_ref[0].mean()
+
+
 def test_render_box_map_weights():
     xmin = jnp.asarray([[10, 50, 0]])
     xmax = jnp.asarray([[60, 80, 0]])  # third box absent (xmax==0)
