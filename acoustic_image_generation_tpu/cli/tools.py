@@ -395,7 +395,12 @@ def cmd_generate(args) -> int:
     test`` (no real acoustic images needed at input; the reference has no
     serving surface). Writes ``{set}_generated.npy`` (N,36,48,C) plus
     labels, and optionally the inverted ``{set}_energy.npy`` spatial maps
-    (find_logen, iouenergythreshold.py:294-323)."""
+    (find_logen, iouenergythreshold.py:294-323).
+
+    ``--artifact DIR`` serves from a StableHLO artifact written by
+    ``export-serving`` instead of a checkpoint: the module (weights baked
+    in) does the forward, and this command only feeds it loader batches.
+    """
     import jax
 
     from acoustic_image_generation_tpu.cli.main import (
@@ -419,29 +424,54 @@ def cmd_generate(args) -> int:
     if first is None:
         print("empty training list: no batches to build a template from")
         return 2
-    template = trainer.init_state(first)
-    state = trainer.restore(args.checkpoint, template)
-    # honor --trunk_quant int8 in the serving path too: one-time
-    # calibration from the first batch (docs/PERF.md int8 ladder)
-    trainer._maybe_build_qtrunk(state, first)
-    qtrunk = trainer._qtrunk
 
-    def _serve(raw, key):
-        batch = trainer._prepare(raw)
-        gen = task.generate(
-            state.params, state.batch_stats, batch.mfcc, batch.video, key,
-            qtrunk=qtrunk,
-        )
-        return (gen, find_logen(gen)) if args.energy else (gen,)
+    if getattr(args, "artifact", None):
+        from acoustic_image_generation_tpu.core import serving
 
-    step = jax.jit(_serve)
+        model = serving.load_artifact(args.artifact)
+        if args.energy and not model.manifest["energy"]:
+            print("artifact was exported without --energy")
+            return 2
+        import jax.numpy as jnp
+
+        prepare = jax.jit(lambda raw: trainer._prepare(raw))
+
+        def step(raw, i):
+            batch = prepare(raw)
+            out = model._call(
+                batch.mfcc.astype(jnp.float32),
+                batch.video.astype(jnp.float32),
+                np.int32(config.run.seed + i),
+            )
+            return out if model.manifest["energy"] else (out[0],)
+
+    else:
+        template = trainer.init_state(first)
+        state = trainer.restore(args.checkpoint, template)
+        # honor --trunk_quant int8 in the serving path too: one-time
+        # calibration from the first batch (docs/PERF.md int8 ladder)
+        trainer._maybe_build_qtrunk(state, first)
+        qtrunk = trainer._qtrunk
+
+        def _serve(raw, key):
+            batch = trainer._prepare(raw)
+            gen = task.generate(
+                state.params, state.batch_stats, batch.mfcc, batch.video, key,
+                qtrunk=qtrunk,
+            )
+            return (gen, find_logen(gen)) if args.energy else (gen,)
+
+        jit_serve = jax.jit(_serve)
+        base = jax.random.key(config.run.seed)
+
+        def step(raw, i):
+            return jit_serve(raw, jax.random.fold_in(base, i))
     outs: list = []
     energies: list = []
     labels: list = []
-    base = jax.random.key(config.run.seed)
     for i, raw_batch in enumerate(loader.batches(0)):
         raw = trainer.device_batch(raw_batch)
-        result = step(raw, jax.random.fold_in(base, i))
+        result = step(raw, i)
         frames = raw_batch.acoustic.shape[1]
         n = raw_batch.valid * frames
         outs.append(np.asarray(result[0], np.float32)[:n])
@@ -457,6 +487,53 @@ def cmd_generate(args) -> int:
         )
     total = sum(o.shape[0] for o in outs)
     print(f"generated {total} acoustic images -> {args.out_dir}")
+    return 0
+
+
+def cmd_export_serving(args) -> int:
+    """Serialize a trained generator into a self-contained StableHLO
+    serving artifact (``core/serving.py``): weights baked in, batch
+    dimension shape-polymorphic, runnable on the exported platforms with
+    no model code or checkpoint plumbing. Pair with
+    ``generate --artifact DIR`` or ``core.serving.load_artifact``."""
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser as main_parser,
+        config_from_args,
+        make_loader,
+        select_task,
+    )
+    from acoustic_image_generation_tpu.core import serving
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    main_args = main_parser().parse_args(_strip(args.train_flags))
+    config = config_from_args(main_args)
+    task = select_task(config)
+    assert hasattr(task, "generate"), "export-serving requires the generation recipe"
+    trainer = Trainer(task, config)
+    loader = make_loader(config, "training")
+    first = None
+    for first in loader.batches(0):
+        break
+    if first is None:
+        print("empty training list: no batches to build a template from")
+        return 2
+    template = trainer.init_state(first)
+    state = trainer.restore(args.checkpoint, template)
+    trainer._maybe_build_qtrunk(state, first)
+    manifest = serving.export_generation(
+        task,
+        state,
+        args.out_dir,
+        energy=args.energy,
+        qtrunk=trainer._qtrunk,
+        batch="poly" if args.batch == "poly" else int(args.batch),
+        platforms=tuple(args.platforms.split(",")),
+    )
+    print(
+        f"exported {manifest['module_bytes']} StableHLO bytes"
+        f" ({manifest['trunk_quant']} trunk, platforms"
+        f" {','.join(manifest['platforms'])}) -> {args.out_dir}"
+    )
     return 0
 
 
@@ -555,8 +632,26 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["training", "validation", "testing"])
     s.add_argument("--energy", action="store_true",
                    help="also write inverted spatial energy maps")
+    s.add_argument("--artifact", default=None,
+                   help="serve from an export-serving StableHLO artifact "
+                        "dir (checkpoint positional is then ignored)")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser(
+        "export-serving",
+        help="serialize a trained generator to a StableHLO serving artifact",
+    )
+    s.add_argument("checkpoint")
+    s.add_argument("out_dir")
+    s.add_argument("--energy", action="store_true",
+                   help="bake the find_logen energy inversion in as a second output")
+    s.add_argument("--batch", default="poly",
+                   help='"poly" (default, any batch size) or a fixed int')
+    s.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    s.add_argument("train_flags", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_export_serving)
 
     s = sub.add_parser(
         "export-tf1",

@@ -1,0 +1,180 @@
+"""Self-contained StableHLO serving artifacts (``jax.export``).
+
+The reference stack has no serving layer — deployment means carrying the
+full TF1 Python stack plus a checkpoint (SURVEY.md §1: "no scheduler, no
+distributed communication layer, no serving layer"; the closest thing is
+re-running ``main.py --mode test``). The TPU build ships a real one: a
+trained generator's forward pass — mfcc-map tiling + ResNet50
+conditioning + UNet decode, optionally followed by the ``find_logen``
+energy inversion (``/root/reference/iouenergythreshold.py:294-323``) —
+is serialized into ONE versioned artifact with the weights baked in as
+StableHLO constants. Any JAX runtime on the artifact's platforms
+executes it with no model code, no Python config, and no checkpoint
+plumbing:
+
+    model = load_artifact("flagship.aigserve")
+    gen, energy = model.generate(mfcc, video, seed=0)
+
+The batch dimension is shape-polymorphic by default (one compile serves
+any batch size); weights are f32/bf16 exactly as trained, and the int8
+trunk (``trunk_quant="int8"``) bakes its calibrated scales in, so the
+artifact reproduces the serving ladder of docs/PERF.md bit-for-bit.
+
+Artifact layout (a directory):
+  ``module.stablehlo``  serialized ``jax.export.Exported`` bytes
+  ``manifest.json``     format version, input/output signature,
+                        channels, platforms, SHA-256 weight digest
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+FORMAT = "aig-serving-v1"
+
+
+def _params_digest(*trees: Any) -> str:
+    h = hashlib.sha256()
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            arr = np.asarray(jax.device_get(leaf))
+            h.update(str(arr.dtype).encode())
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def export_generation(
+    task,
+    state,
+    out_dir: str,
+    *,
+    energy: bool = False,
+    qtrunk=None,
+    batch: int | str = "poly",
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize ``task.generate`` (GenerationTask) around a trained
+    ``state`` into a deployable artifact directory.
+
+    Args:
+      task: a task exposing ``generate(params, batch_stats, mfcc, video,
+        key, qtrunk=)`` — the flagship ``GenerationTask``.
+      state: trained ``TrainState`` (params + batch_stats are baked into
+        the module as constants).
+      out_dir: artifact directory (created; files overwritten).
+      energy: also emit the ``find_logen`` spatial energy map as a second
+        output (12-channel recipes only).
+      qtrunk: calibrated int8 trunk pytree (``Trainer._qtrunk``) to bake
+        in, or None for the bf16/f32 trunk.
+      batch: "poly" for a shape-polymorphic batch dimension, or a fixed
+        int batch size.
+      platforms: lowering platforms for the artifact.
+
+    Returns the manifest dict.
+    """
+    from acoustic_image_generation_tpu.dsp.energy import find_logen
+
+    channels = int(task.cfg.data.num_channels)
+    if energy and channels != 12:
+        raise ValueError("energy inversion is defined for 12-channel MFCC images")
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats)
+    qtrunk_host = jax.device_get(qtrunk) if qtrunk is not None else None
+
+    def serve(mfcc, video, seed):
+        key = jax.random.key(seed)
+        gen = task.generate(
+            params, batch_stats, mfcc, video, key, qtrunk=qtrunk_host
+        )
+        return (gen, find_logen(gen)) if energy else (gen,)
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    mfcc_t = jax.ShapeDtypeStruct((b, 12), np.float32)
+    video_t = jax.ShapeDtypeStruct((b, 224, 298, 3), np.float32)
+    seed_t = jax.ShapeDtypeStruct((), np.int32)
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(
+        mfcc_t, video_t, seed_t
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": FORMAT,
+        "platforms": list(platforms),
+        "batch": "poly" if batch == "poly" else int(batch),
+        "channels": channels,
+        "energy": bool(energy),
+        "trunk_quant": "int8" if qtrunk_host is not None else "none",
+        "inputs": {
+            "mfcc": ["b", 12],
+            "video": ["b", 224, 298, 3],
+            "seed": [],
+        },
+        "outputs": (["generated", "energy"] if energy else ["generated"]),
+        "module_bytes": len(blob),
+        "weights_sha256": _params_digest(params, batch_stats, qtrunk_host),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingModel:
+    """A loaded serving artifact: ``generate(mfcc, video, seed)``."""
+
+    def __init__(self, exported, manifest: dict):
+        self._exported = exported
+        self.manifest = manifest
+        self._call = jax.jit(exported.call)
+
+    def generate(self, mfcc, video, seed: int = 0):
+        """Run the baked generator.
+
+        Returns ``generated (N,36,48,C)`` float32, plus
+        ``energy (N,36,48)`` when the artifact was exported with
+        ``energy=True``.
+        """
+        mfcc = np.asarray(mfcc, np.float32)
+        video = np.asarray(video, np.float32)
+        fixed = self.manifest["batch"]
+        if fixed != "poly" and mfcc.shape[0] != fixed:
+            raise ValueError(
+                f"artifact was exported at fixed batch {fixed}, got {mfcc.shape[0]}"
+            )
+        out = self._call(mfcc, video, np.int32(seed))
+        if self.manifest["energy"]:
+            gen, en = out
+            return np.asarray(gen), np.asarray(en)
+        (gen,) = out
+        return np.asarray(gen)
+
+
+def load_artifact(art_dir: str) -> ServingModel:
+    """Load an artifact directory written by :func:`export_generation`."""
+    with open(os.path.join(art_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != FORMAT:
+        raise ValueError(
+            f"unsupported serving artifact format {manifest.get('format')!r}"
+        )
+    with open(os.path.join(art_dir, "module.stablehlo"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    backend = jax.default_backend()
+    if backend not in exported.platforms:
+        raise RuntimeError(
+            f"artifact lowered for {exported.platforms}, runtime is {backend!r}"
+        )
+    return ServingModel(exported, manifest)

@@ -1,0 +1,149 @@
+"""StableHLO serving artifacts (core/serving.py): export -> reload ->
+forward parity vs the in-process generator, shape-polymorphic batch,
+manifest/version gating. The reference has no serving layer (SURVEY.md
+§1); this is the TPU build's deployment surface, so the contract tests
+live here rather than in an integration suite."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acoustic_image_generation_tpu.core import serving
+from acoustic_image_generation_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    ParallelConfig,
+    RunConfig,
+)
+from acoustic_image_generation_tpu.data.preprocess import Batch
+from acoustic_image_generation_tpu.train.generation import GenerationTask
+
+
+class _State:
+    def __init__(self, params, batch_stats):
+        self.params = params
+        self.batch_stats = batch_stats
+
+
+@pytest.fixture(scope="module")
+def tiny_flagship(tmp_path_factory):
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, sample_length=1),
+        model=ModelConfig(
+            embedding=True, mfcc=True, num_skip_conn=1, resnet_units=(1, 1, 1, 1)
+        ),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(
+            exp_name="serve",
+            checkpoint_dir=str(tmp_path_factory.mktemp("serve_ckpt")),
+            seed=0,
+        ),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    task = GenerationTask(cfg)
+    rs = np.random.RandomState(0)
+    mfcc = rs.rand(4, 12).astype(np.float32)
+    video = rs.rand(4, 224, 298, 3).astype(np.float32)
+    batch = Batch(
+        acoustic=jnp.zeros((4, 36, 48, 12)),
+        audio=jnp.zeros((4, 1024)),
+        mfcc=mfcc,
+        video=video,
+        action=jnp.zeros((4,), jnp.int32),
+        location=jnp.zeros((4,), jnp.int32),
+        filtered_mfcc=jnp.zeros_like(mfcc),
+    )
+    params, batch_stats = task.init_variables(jax.random.key(0), batch)
+    art_dir = str(tmp_path_factory.mktemp("artifact"))
+    manifest = serving.export_generation(
+        task, _State(params, batch_stats), art_dir, energy=True
+    )
+    return dict(
+        task=task,
+        params=params,
+        batch_stats=batch_stats,
+        mfcc=mfcc,
+        video=video,
+        art_dir=art_dir,
+        manifest=manifest,
+    )
+
+
+@pytest.mark.slow
+def test_artifact_matches_in_process_generate(tiny_flagship):
+    t = tiny_flagship
+    model = serving.load_artifact(t["art_dir"])
+    gen, energy = model.generate(t["mfcc"], t["video"], seed=7)
+    ref = np.asarray(
+        t["task"].generate(
+            t["params"], t["batch_stats"], t["mfcc"], t["video"],
+            jax.random.key(np.int32(7)),
+        )
+    )
+    assert gen.shape == (4, 36, 48, 12)
+    assert energy.shape == (4, 36, 48)
+    np.testing.assert_allclose(gen, ref, rtol=0, atol=5e-6)
+    # seeds change the sampled latent -> different images
+    gen2, _ = model.generate(t["mfcc"], t["video"], seed=8)
+    assert np.max(np.abs(gen2 - gen)) > 0
+
+
+@pytest.mark.slow
+def test_artifact_batch_is_polymorphic(tiny_flagship):
+    t = tiny_flagship
+    model = serving.load_artifact(t["art_dir"])
+    gen, energy = model.generate(t["mfcc"][:2], t["video"][:2], seed=7)
+    assert gen.shape == (2, 36, 48, 12)
+    full, _ = model.generate(t["mfcc"], t["video"], seed=7)
+    # per-row latents key off the fold of one seed across the batch: the
+    # leading rows of a larger batch are NOT required to match, but both
+    # must be finite and in the sigmoid range
+    assert np.isfinite(gen).all() and (gen >= 0).all() and (gen <= 1).all()
+    assert np.isfinite(full).all()
+
+
+@pytest.mark.slow
+def test_manifest_records_contract(tiny_flagship):
+    t = tiny_flagship
+    with open(os.path.join(t["art_dir"], "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["format"] == serving.FORMAT
+    assert manifest["batch"] == "poly"
+    assert manifest["energy"] is True
+    assert manifest["channels"] == 12
+    assert manifest["trunk_quant"] == "none"
+    assert set(manifest["platforms"]) >= {"cpu"}
+    assert len(manifest["weights_sha256"]) == 64
+    blob = os.path.getsize(os.path.join(t["art_dir"], "module.stablehlo"))
+    assert blob == manifest["module_bytes"] > 0
+
+
+def test_load_rejects_unknown_format(tmp_path):
+    os.makedirs(tmp_path / "art", exist_ok=True)
+    with open(tmp_path / "art" / "manifest.json", "w") as f:
+        json.dump({"format": "aig-serving-v999"}, f)
+    with pytest.raises(ValueError, match="unsupported serving artifact"):
+        serving.load_artifact(str(tmp_path / "art"))
+
+
+def test_export_rejects_energy_for_non12ch(tiny_flagship, tmp_path):
+    # music recipes carry 13 channels (find_logen's inversion is a
+    # 12-coefficient DCT): energy export must refuse
+    import copy
+
+    t = tiny_flagship
+    task13 = copy.copy(t["task"])
+    task13.cfg = copy.deepcopy(t["task"].cfg)
+    object.__setattr__(task13.cfg.data, "datatype", "music")
+    assert task13.cfg.data.num_channels == 13
+    with pytest.raises(ValueError, match="12-channel"):
+        serving.export_generation(
+            task13, _State(t["params"], t["batch_stats"]), str(tmp_path / "x"),
+            energy=True,
+        )
