@@ -157,6 +157,14 @@ def main() -> None:
     if mode == "ingest":
         return _ingest_bench(clips)
 
+    # AIG_BENCH_TASK=classify|embed: opt-in throughput probes for the
+    # other reference task families (trainer_class.py / trainer_three.py
+    # equivalents) through the SAME production Trainer step. Not part of
+    # the default ladder — measured numbers live in docs/PERF.md.
+    bench_task = os.environ.get("AIG_BENCH_TASK", "generation")
+    if bench_task != "generation":
+        return _task_bench(bench_task)
+
     # Data-parallel scale-out (train/scan): with >1 device visible, WEAK
     # scaling — every chip keeps its measured sweet-spot batch and the
     # global batch grows by the device count, grads all-reduce over ICI.
@@ -318,6 +326,96 @@ def _infer_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=Non
     float(acc)
     dt = time.perf_counter() - t0
     _emit("generation_infer_clips_per_sec_chip", n_steps * clips / dt)
+
+
+def _task_bench(kind: str) -> None:
+    """Train-step throughput for the non-flagship task families through
+    the SAME production Trainer step and timing methodology as the
+    flagship: ``classify`` = DualCamNet on real acoustic images
+    (``/root/reference/trainer/trainer_class.py``), ``embed`` = 3-VAE
+    triplet alignment (``trainer_three.py``). Opt-in via
+    ``AIG_BENCH_TASK``; measured numbers live in docs/PERF.md."""
+    import types
+
+    from acoustic_image_generation_tpu.core.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+        ParallelConfig,
+        RunConfig,
+    )
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    # measured sweet spots on one v5e core: DualCamNet is tiny (256);
+    # the embed step carries the 224x298 video VAE fwd+bwd (32)
+    defaults = {"classify": 256, "embed": 32}
+    if kind not in defaults:
+        raise SystemExit(f"unknown AIG_BENCH_TASK={kind!r}")
+    clips = int(os.environ.get("AIG_BENCH_CLIPS", str(defaults[kind])))
+    global _DP_DEVICES
+    if os.environ.get("AIG_BENCH_DP", "1") == "1":
+        _DP_DEVICES = jax.device_count()
+    if _DP_DEVICES > 1:
+        clips *= _DP_DEVICES
+
+    if kind == "classify":
+        model = ModelConfig(model="DualCamNet", mfcc=True)
+    else:
+        model = ModelConfig(embedding=True)
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=clips, sample_length=1),
+        model=model,
+        optim=OptimConfig(learning_rate=1e-4),
+        run=RunConfig(exp_name=f"bench_{kind}", checkpoint_dir="/tmp/aig_bench_ck"),
+        parallel=ParallelConfig(
+            compute_dtype="bfloat16", num_devices=max(_DP_DEVICES, 1)
+        ),
+    )
+    if kind == "classify":
+        from acoustic_image_generation_tpu.train.classify import ClassificationTask
+
+        task = ClassificationTask(cfg)
+    else:
+        from acoustic_image_generation_tpu.train.embed import EmbedTask
+
+        task = EmbedTask(cfg)
+    trainer = Trainer(task, cfg)
+
+    rng = np.random.default_rng(0)
+    frames = 12 * clips
+    raw_host = types.SimpleNamespace(
+        acoustic=jnp.asarray(
+            rng.random((clips, 12, 36, 48, 12), dtype=np.float32)
+        ),
+        audio=jnp.asarray(
+            rng.integers(-(2**15), 2**15, (clips, 12, 1024)).astype(np.int32)
+        ),
+        video=jnp.asarray(
+            rng.integers(0, 255, (clips, 12, 224, 298, 3)).astype(np.uint8)
+        ),
+        # real class spread so triplet mining / CE see non-degenerate
+        # batches (all-one-class batches zero out the hard-triplet loss)
+        action=jnp.asarray(
+            rng.integers(0, cfg.data.num_classes, (clips,)).astype(np.int32)
+        ),
+        location=jnp.zeros((clips,), jnp.int32),
+        valid=clips,
+    )
+    raw = trainer.device_batch(raw_host)
+    state = trainer.init_state(raw_host)
+    step = lambda s: trainer._train_step(s, raw, None)
+
+    for _ in range(3):
+        state, metrics = step(state)
+    float(jax.device_get(metrics["loss"]))
+    n_steps = int(os.environ.get("AIG_BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state)
+    float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    _emit(f"{kind}_train_clips_per_sec_chip", n_steps * clips / dt)
 
 
 def _scan_bench(trainer, state, raw, feat, qtrunk, clips: int) -> None:
@@ -596,6 +694,7 @@ def _run_with_watchdog() -> int:
         and os.environ.get("AIG_BENCH_MODE", "train") == "train"
         and os.environ.get("AIG_BENCH_CACHE", "1") == "1"
         and os.environ.get("AIG_BENCH_TRUNK_QUANT", "none") == "none"
+        and os.environ.get("AIG_BENCH_TASK", "generation") == "generation"
         and os.environ.get("AIG_BENCH_LADDER", "1") == "1"
     )
     if is_default:

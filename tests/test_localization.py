@@ -1,6 +1,7 @@
 """End-to-end localization evaluation: energy-IoU sweep over a generation
 checkpoint and box-IoU sweep over Flickr-shaped shards (SURVEY.md §3.4)."""
 
+import json
 import os
 
 import jax
@@ -183,6 +184,65 @@ def test_tools_generate_serving_cli(tmp_path):
     assert gen_q.shape == (n, 36, 48, 12)
     assert np.isfinite(gen_q).all()
     assert gen_q.min() >= 0.0 and gen_q.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_tools_export_serving_cli(tmp_path):
+    """Deployment surface: `tools export-serving` writes a StableHLO
+    artifact and `tools generate --artifact` serves from it — loader in,
+    baked module forward, npy artifacts out (core/serving.py)."""
+    from acoustic_image_generation_tpu.cli import tools
+    from acoustic_image_generation_tpu.cli.main import (
+        build_parser,
+        config_from_args,
+    )
+    from acoustic_image_generation_tpu.data.pipeline import AcousticImageDataLoader
+    from acoustic_image_generation_tpu.data.synthetic import write_synthetic_dataset
+    from acoustic_image_generation_tpu.train import checkpoint as ckpt_mod
+    from acoustic_image_generation_tpu.train.generation import GenerationTask
+    from acoustic_image_generation_tpu.train.trainer import Trainer
+
+    lists = write_synthetic_dataset(
+        str(tmp_path / "ds"), num_classes=2, videos_per_class=2, seconds_per_video=2
+    )
+    flags = [
+        "--embedding", "1", "--mfcc", "1", "--resnet_units", "1,1,1,1",
+        "--batch_size", "8", "--sample_length", "1", "--compute_dtype", "float32",
+        "--exp_name", "srv_cli", "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--train_file", lists["training"], "--test_file", lists["testing"],
+    ]
+    cfg = config_from_args(build_parser().parse_args(flags))
+    trainer = Trainer(GenerationTask(cfg), cfg)
+    loader = AcousticImageDataLoader(lists["training"], "training", 8)
+    for first in loader.batches(0):
+        break
+    state = trainer.init_state(first)
+    path = ckpt_mod.save_checkpoint(str(tmp_path), "init", state)
+
+    art_dir = tmp_path / "artifact"
+    rc = tools.main([
+        "export-serving", "--energy", "--platforms", "cpu",
+        path, str(art_dir), "--", *flags,
+    ])
+    assert rc == 0
+    assert (art_dir / "module.stablehlo").exists()
+    with open(art_dir / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["energy"] is True and manifest["batch"] == "poly"
+
+    out_dir = tmp_path / "served_art"
+    rc = tools.main([
+        "generate", "--set", "testing", "--energy", "--artifact", str(art_dir),
+        path, str(out_dir), "--", *flags,
+    ])
+    assert rc == 0
+    test_loader = AcousticImageDataLoader(lists["testing"], "testing", 8)
+    n = test_loader.num_windows * 12
+    gen = np.load(out_dir / "testing_generated.npy")
+    energy = np.load(out_dir / "testing_energy.npy")
+    assert gen.shape == (n, 36, 48, 12) and energy.shape == (n, 36, 48)
+    assert np.isfinite(gen).all() and np.isfinite(energy).all()
+    assert gen.min() >= 0.0 and gen.max() <= 1.0
 
 
 @pytest.mark.slow
