@@ -505,10 +505,16 @@ def cmd_export_serving(args) -> int:
     from acoustic_image_generation_tpu.core import serving
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
+    from acoustic_image_generation_tpu.train.classify import ClassificationTask
+
     main_args = main_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
     task = select_task(config)
-    assert hasattr(task, "generate"), "export-serving requires the generation recipe"
+    is_gen = hasattr(task, "generate")
+    is_cls = isinstance(task, ClassificationTask)
+    assert is_gen or is_cls, (
+        "export-serving supports the generation and classification recipes"
+    )
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
     first = None
@@ -519,20 +525,27 @@ def cmd_export_serving(args) -> int:
         return 2
     template = trainer.init_state(first)
     state = trainer.restore(args.checkpoint, template)
-    trainer._maybe_build_qtrunk(state, first)
-    manifest = serving.export_generation(
-        task,
-        state,
-        args.out_dir,
-        energy=args.energy,
-        qtrunk=trainer._qtrunk,
-        batch="poly" if args.batch == "poly" else int(args.batch),
-        platforms=tuple(args.platforms.split(",")),
-    )
+    batch = "poly" if args.batch == "poly" else int(args.batch)
+    platforms = tuple(args.platforms.split(","))
+    if is_gen:
+        trainer._maybe_build_qtrunk(state, first)
+        manifest = serving.export_generation(
+            task,
+            state,
+            args.out_dir,
+            energy=args.energy,
+            qtrunk=trainer._qtrunk,
+            batch=batch,
+            platforms=platforms,
+        )
+    else:
+        manifest = serving.export_classification(
+            task, state, args.out_dir, batch=batch, platforms=platforms
+        )
     print(
-        f"exported {manifest['module_bytes']} StableHLO bytes"
-        f" ({manifest['trunk_quant']} trunk, platforms"
-        f" {','.join(manifest['platforms'])}) -> {args.out_dir}"
+        f"exported {manifest['kind']} artifact:"
+        f" {manifest['module_bytes']} StableHLO bytes"
+        f" (platforms {','.join(manifest['platforms'])}) -> {args.out_dir}"
     )
     return 0
 

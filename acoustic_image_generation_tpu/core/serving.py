@@ -34,6 +34,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
@@ -113,6 +114,7 @@ def export_generation(
         f.write(blob)
     manifest = {
         "format": FORMAT,
+        "kind": "generation",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
         "channels": channels,
@@ -132,13 +134,106 @@ def export_generation(
     return manifest
 
 
+def export_classification(
+    task,
+    state,
+    out_dir: str,
+    *,
+    batch: int | str = "poly",
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize a trained DualCamNet classifier (``ClassificationTask``)
+    into a serving artifact: per-frame acoustic images (or mfcc vectors
+    when ``model.mfccmap`` is set) in, per-clip logits out — the
+    deployment counterpart of the reference's ``trainer_class.py`` test
+    path (``/root/reference/trainer/trainer_class.py:47-54`` 12-frame
+    logit mean)."""
+    channels = int(task.cfg.data.num_channels)
+    num_frames = int(task.num_frames)
+    mfccmap = bool(task.cfg.model.mfccmap)
+    params = jax.device_get(state.params)
+
+    from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
+
+    def serve(inputs):
+        zeros_like_frames = jnp.zeros((inputs.shape[0],), jnp.int32)
+        if mfccmap:
+            batch_ = _Batch(
+                acoustic=jnp.zeros((inputs.shape[0], 36, 48, channels)),
+                audio=jnp.zeros((inputs.shape[0], 1024)),
+                mfcc=inputs,
+                video=jnp.zeros((inputs.shape[0], 1, 1, 3)),
+                action=zeros_like_frames,
+                location=zeros_like_frames,
+                filtered_mfcc=jnp.zeros_like(inputs),
+            )
+        else:
+            batch_ = _Batch(
+                acoustic=inputs,
+                audio=jnp.zeros((inputs.shape[0], 1024)),
+                mfcc=jnp.zeros((inputs.shape[0], 12)),
+                video=jnp.zeros((inputs.shape[0], 1, 1, 3)),
+                action=zeros_like_frames,
+                location=zeros_like_frames,
+                filtered_mfcc=jnp.zeros((inputs.shape[0], 12)),
+            )
+        return (task._logits(params, batch_),)
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    frames = b * num_frames
+    if mfccmap:
+        in_t = jax.ShapeDtypeStruct((frames, 12), np.float32)
+        in_spec = ["b*F", 12]
+    else:
+        in_t = jax.ShapeDtypeStruct((frames, 36, 48, channels), np.float32)
+        in_spec = ["b*F", 36, 48, channels]
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(in_t)
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": FORMAT,
+        "kind": "classification",
+        "platforms": list(platforms),
+        "batch": "poly" if batch == "poly" else int(batch),
+        "channels": channels,
+        "num_frames": num_frames,
+        "num_classes": int(task.cfg.data.num_classes),
+        "mfccmap": mfccmap,
+        "inputs": {"mfcc" if mfccmap else "acoustic": in_spec},
+        "outputs": ["clip_logits"],
+        "module_bytes": len(blob),
+        "weights_sha256": _params_digest(params),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServingModel:
-    """A loaded serving artifact: ``generate(mfcc, video, seed)``."""
+    """A loaded serving artifact: ``generate(mfcc, video, seed)`` for
+    generation artifacts, ``classify(inputs)`` for classification ones."""
 
     def __init__(self, exported, manifest: dict):
         self._exported = exported
         self.manifest = manifest
         self._call = jax.jit(exported.call)
+
+    @property
+    def kind(self) -> str:
+        return self.manifest.get("kind", "generation")
+
+    def _check_batch(self, n: int) -> None:
+        fixed = self.manifest["batch"]
+        if fixed != "poly" and n != fixed:
+            raise ValueError(
+                f"artifact was exported at fixed batch {fixed}, got {n}"
+            )
 
     def generate(self, mfcc, video, seed: int = 0):
         """Run the baked generator.
@@ -147,19 +242,28 @@ class ServingModel:
         ``energy (N,36,48)`` when the artifact was exported with
         ``energy=True``.
         """
+        if self.kind != "generation":
+            raise ValueError(f"{self.kind} artifact has no generate()")
         mfcc = np.asarray(mfcc, np.float32)
         video = np.asarray(video, np.float32)
-        fixed = self.manifest["batch"]
-        if fixed != "poly" and mfcc.shape[0] != fixed:
-            raise ValueError(
-                f"artifact was exported at fixed batch {fixed}, got {mfcc.shape[0]}"
-            )
+        self._check_batch(mfcc.shape[0])
         out = self._call(mfcc, video, np.int32(seed))
         if self.manifest["energy"]:
             gen, en = out
             return np.asarray(gen), np.asarray(en)
         (gen,) = out
         return np.asarray(gen)
+
+    def classify(self, inputs):
+        """Per-frame acoustic images (N*F,36,48,C) — or mfcc vectors
+        (N*F,12) for mfccmap artifacts — to per-clip logits
+        (N, num_classes)."""
+        if self.kind != "classification":
+            raise ValueError(f"{self.kind} artifact has no classify()")
+        inputs = np.asarray(inputs, np.float32)
+        self._check_batch(inputs.shape[0] // self.manifest["num_frames"])
+        (logits,) = self._call(inputs)
+        return np.asarray(logits)
 
 
 def load_artifact(art_dir: str) -> ServingModel:

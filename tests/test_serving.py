@@ -124,6 +124,50 @@ def test_manifest_records_contract(tiny_flagship):
     assert blob == manifest["module_bytes"] > 0
 
 
+@pytest.mark.slow
+def test_classification_artifact_matches_in_process(tmp_path):
+    """DualCamNet classifier artifact: per-frame acoustic images in,
+    per-clip logits out, parity vs the in-process task._logits."""
+    from acoustic_image_generation_tpu.train.classify import ClassificationTask
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, sample_length=1),
+        model=ModelConfig(model="DualCamNet", mfcc=True),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="cls", checkpoint_dir=str(tmp_path), seed=0),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    task = ClassificationTask(cfg)
+    rs = np.random.RandomState(1)
+    acoustic = rs.rand(4 * 12, 36, 48, 12).astype(np.float32)
+    batch = Batch(
+        acoustic=acoustic,
+        audio=jnp.zeros((48, 1024)),
+        mfcc=jnp.zeros((48, 12)),
+        video=jnp.zeros((48, 1, 1, 3)),
+        action=jnp.zeros((48,), jnp.int32),
+        location=jnp.zeros((48,), jnp.int32),
+        filtered_mfcc=jnp.zeros((48, 12)),
+    )
+    params, _ = task.init_variables(jax.random.key(0), batch)
+    art = str(tmp_path / "cls_art")
+    manifest = serving.export_classification(task, _State(params, {}), art)
+    assert manifest["kind"] == "classification"
+    assert manifest["num_classes"] == 10 and manifest["num_frames"] == 12
+
+    model = serving.load_artifact(art)
+    logits = model.classify(acoustic)
+    ref = np.asarray(task._logits(params, batch))
+    assert logits.shape == (4, 10)
+    np.testing.assert_allclose(logits, ref, rtol=0, atol=5e-5)
+    # polymorphic clip count
+    half = model.classify(acoustic[: 2 * 12])
+    assert half.shape == (2, 10)
+    # a generation call on a classification artifact must refuse
+    with pytest.raises(ValueError, match="no generate"):
+        model.generate(np.zeros((1, 12)), np.zeros((1, 224, 298, 3)))
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
