@@ -429,6 +429,10 @@ def cmd_generate(args) -> int:
         from acoustic_image_generation_tpu.core import serving
 
         model = serving.load_artifact(args.artifact)
+        if model.kind != "generation":
+            print(f"--artifact points at a {model.kind} artifact; "
+                  "generate needs a generation one")
+            return 2
         if args.energy and not model.manifest["energy"]:
             print("artifact was exported without --energy")
             return 2

@@ -261,7 +261,13 @@ class ServingModel:
         if self.kind != "classification":
             raise ValueError(f"{self.kind} artifact has no classify()")
         inputs = np.asarray(inputs, np.float32)
-        self._check_batch(inputs.shape[0] // self.manifest["num_frames"])
+        frames = self.manifest["num_frames"]
+        if inputs.shape[0] % frames:
+            raise ValueError(
+                f"leading dim {inputs.shape[0]} is not a multiple of the "
+                f"artifact's {frames} frames/clip"
+            )
+        self._check_batch(inputs.shape[0] // frames)
         (logits,) = self._call(inputs)
         return np.asarray(logits)
 

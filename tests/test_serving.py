@@ -168,6 +168,43 @@ def test_classification_artifact_matches_in_process(tmp_path):
         model.generate(np.zeros((1, 12)), np.zeros((1, 224, 298, 3)))
 
 
+@pytest.mark.slow
+def test_classification_artifact_mfccmap_variant(tmp_path):
+    """mfccmap classifiers (trainer_class.py:39-45 tiled-mfcc input) take
+    (N*F,12) vectors; the artifact records and enforces that signature."""
+    from acoustic_image_generation_tpu.train.classify import ClassificationTask
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=2, sample_length=1),
+        model=ModelConfig(model="DualCamNet", mfcc=True, mfccmap=True),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="clsm", checkpoint_dir=str(tmp_path), seed=0),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    task = ClassificationTask(cfg)
+    rs = np.random.RandomState(2)
+    mfcc = rs.rand(24, 12).astype(np.float32)
+    batch = Batch(
+        acoustic=jnp.zeros((24, 36, 48, 12)),
+        audio=jnp.zeros((24, 1024)),
+        mfcc=mfcc,
+        video=jnp.zeros((24, 1, 1, 3)),
+        action=jnp.zeros((24,), jnp.int32),
+        location=jnp.zeros((24,), jnp.int32),
+        filtered_mfcc=jnp.zeros((24, 12)),
+    )
+    params, _ = task.init_variables(jax.random.key(0), batch)
+    art = str(tmp_path / "art")
+    manifest = serving.export_classification(task, _State(params, {}), art)
+    assert manifest["mfccmap"] is True
+    assert "mfcc" in manifest["inputs"]
+    model = serving.load_artifact(art)
+    logits = model.classify(mfcc)
+    ref = np.asarray(task._logits(params, batch))
+    assert logits.shape == (2, 10)
+    np.testing.assert_allclose(logits, ref, rtol=0, atol=5e-5)
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
