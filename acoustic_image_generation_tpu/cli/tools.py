@@ -510,14 +510,17 @@ def cmd_export_serving(args) -> int:
     from acoustic_image_generation_tpu.train.trainer import Trainer
 
     from acoustic_image_generation_tpu.train.classify import ClassificationTask
+    from acoustic_image_generation_tpu.train.embed import EmbedTask
 
     main_args = main_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
     task = select_task(config)
     is_gen = hasattr(task, "generate")
     is_cls = isinstance(task, ClassificationTask)
-    assert is_gen or is_cls, (
-        "export-serving supports the generation and classification recipes"
+    is_emb = isinstance(task, EmbedTask)
+    assert is_gen or is_cls or is_emb, (
+        "export-serving supports the generation, classification and "
+        "embedding recipes"
     )
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
@@ -541,6 +544,11 @@ def cmd_export_serving(args) -> int:
             qtrunk=trainer._qtrunk,
             batch=batch,
             platforms=platforms,
+        )
+    elif is_emb:
+        manifest = serving.export_embedding(
+            task, state, args.out_dir, use_mean=args.use_mean,
+            batch=batch, platforms=platforms,
         )
     else:
         manifest = serving.export_classification(
@@ -663,6 +671,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("out_dir")
     s.add_argument("--energy", action="store_true",
                    help="bake the find_logen energy inversion in as a second output")
+    s.add_argument("--use_mean", action="store_true",
+                   help="embedding artifacts: export latent means instead "
+                        "of sampled z (mean.py)")
     s.add_argument("--batch", default="poly",
                    help='"poly" (default, any batch size) or a fixed int')
     s.add_argument("--platforms", default="tpu,cpu",

@@ -215,6 +215,84 @@ def export_classification(
     return manifest
 
 
+def export_embedding(
+    task,
+    state,
+    out_dir: str,
+    *,
+    use_mean: bool = False,
+    batch: int | str = "poly",
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize a trained 3-VAE embedding model (``EmbedTask``) into a
+    serving artifact: one second of each modality in (acoustic frames,
+    raw audio samples, video frames — the spectrogram frontend is baked
+    into the module), three aligned latents out. The deployment
+    counterpart of the reference's offline ``extract_triplet.py`` →
+    kNN/retrieval flow (``/root/reference/extract_features_unetraces.py:
+    108-110``); ``use_mean`` exports the ``mean.py`` variant."""
+    from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
+
+    channels = int(task.cfg.data.num_channels)
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats)
+
+    def serve(acoustic, audio, video, seed):
+        frames = acoustic.shape[0]
+        batch_ = _Batch(
+            acoustic=acoustic,
+            audio=audio,
+            mfcc=jnp.zeros((frames, 12)),
+            video=video,
+            action=jnp.zeros((frames,), jnp.int32),
+            location=jnp.zeros((frames,), jnp.int32),
+            filtered_mfcc=jnp.zeros((frames, 12)),
+        )
+        z = task.embeddings(
+            params, batch_stats, batch_, jax.random.key(seed), use_mean=use_mean
+        )
+        return (z["acoustic"], z["audio"], z["video"])
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    frames = b * 12
+    args = (
+        jax.ShapeDtypeStruct((frames, 36, 48, channels), np.float32),
+        jax.ShapeDtypeStruct((frames, 1024), np.float32),
+        jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
+        jax.ShapeDtypeStruct((), np.int32),
+    )
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": FORMAT,
+        "kind": "embedding",
+        "platforms": list(platforms),
+        "batch": "poly" if batch == "poly" else int(batch),
+        "channels": channels,
+        "latent_dim": int(task.cfg.model.num_class),
+        "use_mean": bool(use_mean),
+        "inputs": {
+            "acoustic": ["b*12", 36, 48, channels],
+            "audio": ["b*12", 1024],
+            "video": ["b*12", 224, 298, 3],
+            "seed": [],
+        },
+        "outputs": ["z_acoustic", "z_audio", "z_video"],
+        "module_bytes": len(blob),
+        "weights_sha256": _params_digest(params, batch_stats),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServingModel:
     """A loaded serving artifact: ``generate(mfcc, video, seed)`` for
     generation artifacts, ``classify(inputs)`` for classification ones."""
@@ -253,6 +331,28 @@ class ServingModel:
             return np.asarray(gen), np.asarray(en)
         (gen,) = out
         return np.asarray(gen)
+
+    def embed(self, acoustic, audio, video, seed: int = 0):
+        """One second per row of each modality in ((N*12,36,48,C) acoustic
+        frames, (N*12,1024) audio samples, (N*12,224,298,3) video frames)
+        -> dict of aligned per-second latents (N, latent_dim)."""
+        if self.kind != "embedding":
+            raise ValueError(f"{self.kind} artifact has no embed()")
+        acoustic = np.asarray(acoustic, np.float32)
+        audio = np.asarray(audio, np.float32)
+        video = np.asarray(video, np.float32)
+        if acoustic.shape[0] % 12:
+            raise ValueError(
+                f"leading dim {acoustic.shape[0]} is not a multiple of 12 "
+                "frames/second"
+            )
+        self._check_batch(acoustic.shape[0] // 12)
+        z_ac, z_au, z_vi = self._call(acoustic, audio, video, np.int32(seed))
+        return {
+            "acoustic": np.asarray(z_ac),
+            "audio": np.asarray(z_au),
+            "video": np.asarray(z_vi),
+        }
 
     def classify(self, inputs):
         """Per-frame acoustic images (N*F,36,48,C) — or mfcc vectors

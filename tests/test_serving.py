@@ -205,6 +205,55 @@ def test_classification_artifact_mfccmap_variant(tmp_path):
     np.testing.assert_allclose(logits, ref, rtol=0, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_embedding_artifact_matches_in_process(tmp_path):
+    """3-VAE embedding artifact: one second per modality in, three
+    aligned latents out, parity vs task.embeddings (the deployment
+    counterpart of extract_triplet.py -> knn/retrieve)."""
+    from acoustic_image_generation_tpu.train.embed import EmbedTask
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=2, sample_length=1),
+        model=ModelConfig(embedding=True),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="emb", checkpoint_dir=str(tmp_path), seed=0),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    task = EmbedTask(cfg)
+    rs = np.random.RandomState(3)
+    acoustic = rs.rand(24, 36, 48, 12).astype(np.float32)
+    audio = rs.rand(24, 1024).astype(np.float32)
+    video = rs.rand(24, 224, 298, 3).astype(np.float32)
+    batch = Batch(
+        acoustic=acoustic,
+        audio=audio,
+        mfcc=jnp.zeros((24, 12)),
+        video=video,
+        action=jnp.zeros((24,), jnp.int32),
+        location=jnp.zeros((24,), jnp.int32),
+        filtered_mfcc=jnp.zeros((24, 12)),
+    )
+    params, batch_stats = task.init_variables(jax.random.key(0), batch)
+    art = str(tmp_path / "emb_art")
+    manifest = serving.export_embedding(
+        task, _State(params, batch_stats), art, use_mean=True
+    )
+    assert manifest["kind"] == "embedding" and manifest["use_mean"] is True
+
+    model = serving.load_artifact(art)
+    z = model.embed(acoustic, audio, video, seed=5)
+    ref = jax.device_get(
+        task.embeddings(
+            params, batch_stats, batch, jax.random.key(np.int32(5)), use_mean=True
+        )
+    )
+    for mod in ("acoustic", "audio", "video"):
+        assert z[mod].shape == (2, manifest["latent_dim"])
+        np.testing.assert_allclose(z[mod], ref[mod], rtol=0, atol=5e-5)
+    with pytest.raises(ValueError, match="multiple of 12"):
+        model.embed(acoustic[:13], audio[:13], video[:13])
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
