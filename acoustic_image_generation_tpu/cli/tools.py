@@ -544,6 +544,7 @@ def cmd_export_serving(args) -> int:
             qtrunk=trainer._qtrunk,
             batch=batch,
             platforms=platforms,
+            spatial_shards=args.spatial_shards,
         )
     elif is_emb:
         manifest = serving.export_embedding(
@@ -674,6 +675,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--use_mean", action="store_true",
                    help="embedding artifacts: export latent means instead "
                         "of sampled z (mean.py)")
+    s.add_argument("--spatial_shards", type=int, default=1,
+                   help="generation artifacts: bake the spatial-serving "
+                        "layout over N devices (video height split + "
+                        "GSPMD halo exchanges)")
     s.add_argument("--batch", default="poly",
                    help='"poly" (default, any batch size) or a fixed int')
     s.add_argument("--platforms", default="tpu,cpu",

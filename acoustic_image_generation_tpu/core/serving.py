@@ -41,6 +41,23 @@ from jax import export as jax_export
 FORMAT = "aig-serving-v1"
 
 
+def _spatial_serving_mesh(n: int):
+    """A 1-axis local mesh of ``n`` devices plus the spatial-serving
+    shardings (video height split — ``parallel.spatial_sharding``
+    semantics — and replicated)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < n:
+        raise RuntimeError(
+            f"spatial_shards={n} needs {n} local devices, have {len(devs)}"
+        )
+    mesh = Mesh(np.array(devs[:n]), ("data",))
+    vid_sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    return mesh, vid_sh, rep
+
+
 def _params_digest(*trees: Any) -> str:
     h = hashlib.sha256()
     for tree in trees:
@@ -61,6 +78,7 @@ def export_generation(
     qtrunk=None,
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    spatial_shards: int = 1,
 ) -> dict:
     """Serialize ``task.generate`` (GenerationTask) around a trained
     ``state`` into a deployable artifact directory.
@@ -78,6 +96,13 @@ def export_generation(
       batch: "poly" for a shape-polymorphic batch dimension, or a fixed
         int batch size.
       platforms: lowering platforms for the artifact.
+      spatial_shards: >1 bakes the spatial-partitioned serving layout in
+        (``parallel.spatial_sharding``): the video's height dimension is
+        split over that many devices and GSPMD's halo exchanges ride the
+        module, so a latency-bound request uses a whole slice. Requires
+        that many local devices at export AND serve time; the serve-time
+        platform must also match (a sharded module is not
+        cross-platform-portable the way a 1-device one is).
 
     Returns the manifest dict.
     """
@@ -104,7 +129,16 @@ def export_generation(
     mfcc_t = jax.ShapeDtypeStruct((b, 12), np.float32)
     video_t = jax.ShapeDtypeStruct((b, 224, 298, 3), np.float32)
     seed_t = jax.ShapeDtypeStruct((), np.int32)
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(
+    if spatial_shards > 1:
+        mesh, vid_sh, rep = _spatial_serving_mesh(spatial_shards)
+        jit_serve = jax.jit(
+            serve,
+            in_shardings=(rep, vid_sh, rep),
+            out_shardings=rep,
+        )
+    else:
+        jit_serve = jax.jit(serve)
+    exported = jax_export.export(jit_serve, platforms=list(platforms))(
         mfcc_t, video_t, seed_t
     )
 
@@ -119,6 +153,7 @@ def export_generation(
         "batch": "poly" if batch == "poly" else int(batch),
         "channels": channels,
         "energy": bool(energy),
+        "spatial_shards": int(spatial_shards),
         "trunk_quant": "int8" if qtrunk_host is not None else "none",
         "inputs": {
             "mfcc": ["b", 12],
@@ -325,6 +360,11 @@ class ServingModel:
         mfcc = np.asarray(mfcc, np.float32)
         video = np.asarray(video, np.float32)
         self._check_batch(mfcc.shape[0])
+        shards = self.manifest.get("spatial_shards", 1)
+        if shards > 1:
+            _, vid_sh, rep = _spatial_serving_mesh(shards)
+            mfcc = jax.device_put(mfcc, rep)
+            video = jax.device_put(video, vid_sh)
         out = self._call(mfcc, video, np.int32(seed))
         if self.manifest["energy"]:
             gen, en = out
@@ -386,5 +426,11 @@ def load_artifact(art_dir: str) -> ServingModel:
     if backend not in exported.platforms:
         raise RuntimeError(
             f"artifact lowered for {exported.platforms}, runtime is {backend!r}"
+        )
+    shards = manifest.get("spatial_shards", 1)
+    if shards > 1 and len(jax.devices()) < shards:
+        raise RuntimeError(
+            f"artifact is spatially sharded over {shards} devices; "
+            f"runtime has {len(jax.devices())}"
         )
     return ServingModel(exported, manifest)

@@ -206,6 +206,36 @@ def test_classification_artifact_mfccmap_variant(tmp_path):
 
 
 @pytest.mark.slow
+def test_spatially_sharded_artifact_matches_replicated(tiny_flagship, tmp_path):
+    """spatial_shards=8 bakes the spatial-serving layout (video height
+    split + GSPMD halo exchanges, parallel.spatial_sharding semantics)
+    into the module; serving it on the 8-device mesh must match the
+    1-device artifact's output."""
+    t = tiny_flagship
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    art = str(tmp_path / "sharded")
+    manifest = serving.export_generation(
+        t["task"],
+        _State(t["params"], t["batch_stats"]),
+        art,
+        energy=False,
+        platforms=("cpu",),
+        spatial_shards=8,
+    )
+    assert manifest["spatial_shards"] == 8
+    model = serving.load_artifact(art)
+    gen = model.generate(t["mfcc"], t["video"], seed=7)
+    ref = np.asarray(
+        t["task"].generate(
+            t["params"], t["batch_stats"], t["mfcc"], t["video"],
+            jax.random.key(np.int32(7)),
+        )
+    )
+    np.testing.assert_allclose(gen, ref, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
 def test_embedding_artifact_matches_in_process(tmp_path):
     """3-VAE embedding artifact: one second per modality in, three
     aligned latents out, parity vs task.embeddings (the deployment
