@@ -20,7 +20,7 @@ the full table: train-BN 187, eval-BN uncached 252, cached 1244
 clips/s/chip at 64-clip batches on v5e).
 
 Modes (AIG_BENCH_MODE): train (default, cached steady state) | infer |
-pipeline | scan. AIG_BENCH_CACHE=0 measures the uncached full step;
+artifact (serving-artifact round-trip) | pipeline | scan. AIG_BENCH_CACHE=0 measures the uncached full step;
 AIG_BENCH_TRUNK_BN=train restores the reference-faithful train-mode BN;
 AIG_BENCH_FEAT_DTYPE=f8_e4m3 holds cached features in float8 (half HBM).
 
@@ -138,7 +138,7 @@ def main() -> None:
     # the cached step when trunk_bn=='frozen'); train-mode BN recomputes
     # the trunk every step by definition, so the combination is meaningless
     use_cache = use_cache and trunk_bn == "frozen"
-    if mode == "infer":
+    if mode in ("infer", "artifact"):
         default_clips = "96"
     elif not use_cache:
         default_clips = "64"  # full-trunk train step OOMs at 128 clips
@@ -204,7 +204,7 @@ def main() -> None:
     )
     task = GenerationTask(cfg)
 
-    if mode == "infer":
+    if mode in ("infer", "artifact"):
         @jax.jit
         def init(acoustic, audio, video, action):
             batch = preprocess_batch(
@@ -220,7 +220,8 @@ def main() -> None:
             # one-time prepack + static activation calibration on this batch
             qtrunk = task.build_qtrunk(params, batch_stats, normalize_video(video))
             jax.block_until_ready(qtrunk)
-        return _infer_bench(task, params, batch_stats, audio, video, clips, qtrunk)
+        fn = _artifact_bench if mode == "artifact" else _infer_bench
+        return fn(task, params, batch_stats, audio, video, clips, qtrunk)
 
     # ---------------------------------------------------- train / scan
     # The measured step IS the production step: bench instantiates the
@@ -294,6 +295,51 @@ def main() -> None:
     float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
     _emit("generation_train_clips_per_sec_chip", n_steps * clips / dt)
+
+
+def _artifact_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=None) -> None:
+    """Serving-artifact throughput (AIG_BENCH_MODE=artifact): export the
+    generator to a StableHLO artifact (core/serving.py), reload it, and
+    time the loaded module on the same batch/methodology as infer mode —
+    the measured check behind docs/PERF.md's 'the artifact executes the
+    same XLA program' claim. Input prep (MFCC frontend + normalize) runs
+    in a jitted prologue exactly like the infer path."""
+    import types
+
+    from acoustic_image_generation_tpu.core import serving
+    from acoustic_image_generation_tpu.data.preprocess import (
+        normalize_mfcc,
+        normalize_video,
+    )
+    from acoustic_image_generation_tpu.dsp.mfcc import mfcc_from_frames
+
+    state = types.SimpleNamespace(params=params, batch_stats=batch_stats)
+    art_dir = os.environ.get("AIG_BENCH_ARTIFACT_DIR", "/tmp/aig_bench_artifact")
+    t0 = time.perf_counter()
+    serving.export_generation(
+        task, state, art_dir, qtrunk=qtrunk, platforms=(jax.default_backend(),)
+    )
+    export_s = time.perf_counter() - t0
+    model = serving.load_artifact(art_dir)
+
+    @jax.jit
+    def prep(audio, video):
+        mfcc = normalize_mfcc(mfcc_from_frames(audio.astype(jnp.float32)))
+        return mfcc, normalize_video(video)
+
+    mfcc, vid = prep(audio, video)
+    out = model._call(mfcc, vid, np.int32(0))
+    float(jnp.sum(out[0]))
+    n_steps = int(os.environ.get("AIG_BENCH_STEPS", "40"))
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    for i in range(n_steps):
+        out = model._call(mfcc, vid, np.int32(i))
+        acc = acc + out[0][0, 0, 0, 0]
+    float(acc)
+    dt = time.perf_counter() - t0
+    print(f"artifact export {export_s:.1f}s", file=sys.stderr)
+    _emit("generation_artifact_infer_clips_per_sec_chip", n_steps * clips / dt)
 
 
 def _infer_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=None) -> None:
