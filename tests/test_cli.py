@@ -216,6 +216,36 @@ def test_bench_drives_production_trainer_step():
     assert rec["value"] > 0
 
 
+def test_bench_task_probe_classify():
+    """AIG_BENCH_TASK=classify must drive the DualCamNet family through
+    the production Trainer step and emit its own metric name (the
+    docs/PERF.md task-family rungs)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("AIG_BENCH_")}
+    env.update(
+        AIG_BENCH_NO_WATCHDOG="1",
+        AIG_BENCH_CPU_MESH="1",
+        AIG_BENCH_DP="0",
+        AIG_BENCH_TASK="classify",
+        AIG_BENCH_CLIPS="2",
+        AIG_BENCH_STEPS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert rec["metric"] == "classify_train_clips_per_sec_chip"
+    assert rec["value"] > 0
+
+
 def test_bench_watchdog_kills_wedged_child():
     """A child that produces no metric within AIG_BENCH_TIMEOUT is killed
     and the run fails loudly (exit 1) instead of hanging the driver."""
