@@ -94,7 +94,10 @@ def export_generation(
       qtrunk: calibrated int8 trunk pytree (``Trainer._qtrunk``) to bake
         in, or None for the bf16/f32 trunk.
       batch: "poly" for a shape-polymorphic batch dimension, or a fixed
-        int batch size.
+        int batch size. Measured on v5e (docs/PERF.md): polymorphism is
+        ~free for the bf16 trunk but HALVES int8-trunk throughput (s8
+        conv schedules specialize on static shapes) — export int8
+        artifacts at fixed batch sizes.
       platforms: lowering platforms for the artifact.
       spatial_shards: >1 bakes the spatial-partitioned serving layout in
         (``parallel.spatial_sharding``): the video's height dimension is

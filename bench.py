@@ -315,9 +315,18 @@ def _artifact_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=
 
     state = types.SimpleNamespace(params=params, batch_stats=batch_stats)
     art_dir = os.environ.get("AIG_BENCH_ARTIFACT_DIR", "/tmp/aig_bench_artifact")
+    # AIG_BENCH_ARTIFACT_BATCH=poly|fixed: the deployment default is the
+    # shape-polymorphic batch; "fixed" exports at this run's exact batch
+    # (measures what symbolic dims cost the conv schedules)
+    art_batch = (
+        "poly"
+        if os.environ.get("AIG_BENCH_ARTIFACT_BATCH", "poly") == "poly"
+        else clips * 12
+    )
     t0 = time.perf_counter()
     serving.export_generation(
-        task, state, art_dir, qtrunk=qtrunk, platforms=(jax.default_backend(),)
+        task, state, art_dir, qtrunk=qtrunk, batch=art_batch,
+        platforms=(jax.default_backend(),),
     )
     export_s = time.perf_counter() - t0
     model = serving.load_artifact(art_dir)
