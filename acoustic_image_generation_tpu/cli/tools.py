@@ -511,6 +511,7 @@ def cmd_export_serving(args) -> int:
 
     from acoustic_image_generation_tpu.train.classify import ClassificationTask
     from acoustic_image_generation_tpu.train.embed import EmbedTask
+    from acoustic_image_generation_tpu.train.project import ProjectTask
 
     main_args = main_parser().parse_args(_strip(args.train_flags))
     config = config_from_args(main_args)
@@ -518,9 +519,10 @@ def cmd_export_serving(args) -> int:
     is_gen = hasattr(task, "generate")
     is_cls = isinstance(task, ClassificationTask)
     is_emb = isinstance(task, EmbedTask)
-    assert is_gen or is_cls or is_emb, (
-        "export-serving supports the generation, classification and "
-        "embedding recipes"
+    is_proj = isinstance(task, ProjectTask)
+    assert is_gen or is_cls or is_emb or is_proj, (
+        "export-serving supports the generation, classification, "
+        "embedding and projection recipes"
     )
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
@@ -550,6 +552,10 @@ def cmd_export_serving(args) -> int:
         manifest = serving.export_embedding(
             task, state, args.out_dir, use_mean=args.use_mean,
             batch=batch, platforms=platforms,
+        )
+    elif is_proj:
+        manifest = serving.export_projection(
+            task, state, args.out_dir, batch=batch, platforms=platforms
         )
     else:
         manifest = serving.export_classification(

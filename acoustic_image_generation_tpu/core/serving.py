@@ -331,6 +331,86 @@ def export_embedding(
     return manifest
 
 
+def export_projection(
+    task,
+    state,
+    out_dir: str,
+    *,
+    batch: int | str = "poly",
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize a trained projection model (``ProjectTask``) into a
+    serving artifact: one second of video frames and/or raw audio in,
+    generated acoustic images out — the video/audio encoders' latents
+    are translated into the acoustic latent space by the associators and
+    the acoustic decoder renders from the translated latent alone
+    (``/root/reference/trainer/trainer_proietta.py:49-56,102-111``,
+    ``unet_z.py:63`` external-latent decode; no acoustic input is
+    consumed at serve time). Note the module is large (~460 MB at f32:
+    the video VAE's 1024-latent dense layers become baked constants) —
+    proxied runtimes with request-size caps may reject the compile even
+    though local runtimes handle it fine."""
+    from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
+
+    channels = int(task.cfg.data.num_channels)
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats)
+
+    def serve(audio, video, seed):
+        frames = audio.shape[0]
+        batch_ = _Batch(
+            acoustic=jnp.zeros((frames, 36, 48, channels)),
+            audio=audio,
+            mfcc=jnp.zeros((frames, 12)),
+            video=video,
+            action=jnp.zeros((frames,), jnp.int32),
+            location=jnp.zeros((frames,), jnp.int32),
+            filtered_mfcc=jnp.zeros((frames, 12)),
+        )
+        rngs = {"latent": jax.random.key(seed)}
+        _, out, mean, std, _, _ = task._forward(
+            params, batch_stats, batch_, rngs, train=False
+        )
+        return (out.output.astype(jnp.float32),)
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    frames = b * 12
+    args = (
+        jax.ShapeDtypeStruct((frames, 1024), np.float32),
+        jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
+        jax.ShapeDtypeStruct((), np.int32),
+    )
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": FORMAT,
+        "kind": "projection",
+        "platforms": list(platforms),
+        "batch": "poly" if batch == "poly" else int(batch),
+        "channels": channels,
+        "encoder_type": task.encoder_type,
+        "fusion": bool(task.fusion),
+        "inputs": {
+            "audio": ["b*12", 1024],
+            "video": ["b*12", 224, 298, 3],
+            "seed": [],
+        },
+        "outputs": ["generated"],
+        "module_bytes": len(blob),
+        "weights_sha256": _params_digest(params, batch_stats),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServingModel:
     """A loaded serving artifact: ``generate(mfcc, video, seed)`` for
     generation artifacts, ``classify(inputs)`` for classification ones."""
@@ -396,6 +476,23 @@ class ServingModel:
             "audio": np.asarray(z_au),
             "video": np.asarray(z_vi),
         }
+
+    def project(self, audio, video, seed: int = 0):
+        """One second per row (audio samples (N*12,1024), video frames
+        (N*12,224,298,3)) -> generated acoustic images (N,36,48,C)
+        decoded from the translated latent."""
+        if self.kind != "projection":
+            raise ValueError(f"{self.kind} artifact has no project()")
+        audio = np.asarray(audio, np.float32)
+        video = np.asarray(video, np.float32)
+        if audio.shape[0] % 12:
+            raise ValueError(
+                f"leading dim {audio.shape[0]} is not a multiple of 12 "
+                "frames/second"
+            )
+        self._check_batch(audio.shape[0] // 12)
+        (gen,) = self._call(audio, video, np.int32(seed))
+        return np.asarray(gen)
 
     def classify(self, inputs):
         """Per-frame acoustic images (N*F,36,48,C) — or mfcc vectors

@@ -284,6 +284,51 @@ def test_embedding_artifact_matches_in_process(tmp_path):
         model.embed(acoustic[:13], audio[:13], video[:13])
 
 
+@pytest.mark.slow
+def test_projection_artifact_matches_in_process(tmp_path):
+    """Projection artifact: video/audio in, acoustic image decoded from
+    the translated latent out, parity vs ProjectTask._forward (the
+    trainer_proietta.py deployment path — no acoustic input consumed)."""
+    from acoustic_image_generation_tpu.train.project import ProjectTask
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=2, sample_length=1),
+        model=ModelConfig(embedding=True, project=True, encoder_type="Video"),
+        optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+        run=RunConfig(exp_name="proj", checkpoint_dir=str(tmp_path), seed=0),
+        parallel=ParallelConfig(compute_dtype="float32"),
+    )
+    task = ProjectTask(cfg)
+    rs = np.random.RandomState(4)
+    audio = rs.rand(24, 1024).astype(np.float32)
+    video = rs.rand(24, 224, 298, 3).astype(np.float32)
+    zero_batch = Batch(
+        acoustic=jnp.zeros((24, 36, 48, 12)),
+        audio=audio,
+        mfcc=jnp.zeros((24, 12)),
+        video=video,
+        action=jnp.zeros((24,), jnp.int32),
+        location=jnp.zeros((24,), jnp.int32),
+        filtered_mfcc=jnp.zeros((24, 12)),
+    )
+    params, batch_stats = task.init_variables(jax.random.key(0), zero_batch)
+    art = str(tmp_path / "proj_art")
+    manifest = serving.export_projection(task, _State(params, batch_stats), art)
+    assert manifest["kind"] == "projection"
+    assert manifest["encoder_type"] == "Video"
+
+    model = serving.load_artifact(art)
+    gen = model.project(audio, video, seed=9)
+    _, out, _, _, _, _ = task._forward(
+        params, batch_stats, zero_batch, {"latent": jax.random.key(np.int32(9))},
+        train=False,
+    )
+    ref = np.asarray(out.output, np.float32)
+    assert gen.shape == (2, 36, 48, 12)
+    np.testing.assert_allclose(gen, ref, rtol=0, atol=5e-5)
+    assert (gen >= 0).all() and (gen <= 1).all()
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
