@@ -511,6 +511,7 @@ def cmd_export_serving(args) -> int:
 
     from acoustic_image_generation_tpu.train.classify import ClassificationTask
     from acoustic_image_generation_tpu.train.embed import EmbedTask
+    from acoustic_image_generation_tpu.train.joint import JointTask
     from acoustic_image_generation_tpu.train.project import ProjectTask
 
     main_args = main_parser().parse_args(_strip(args.train_flags))
@@ -520,9 +521,10 @@ def cmd_export_serving(args) -> int:
     is_cls = isinstance(task, ClassificationTask)
     is_emb = isinstance(task, EmbedTask)
     is_proj = isinstance(task, ProjectTask)
-    assert is_gen or is_cls or is_emb or is_proj, (
+    is_joint = isinstance(task, JointTask)
+    assert is_gen or is_cls or is_emb or is_proj or is_joint, (
         "export-serving supports the generation, classification, "
-        "embedding and projection recipes"
+        "embedding, projection and joint recipes"
     )
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
@@ -555,6 +557,10 @@ def cmd_export_serving(args) -> int:
         )
     elif is_proj:
         manifest = serving.export_projection(
+            task, state, args.out_dir, batch=batch, platforms=platforms
+        )
+    elif is_joint:
+        manifest = serving.export_joint(
             task, state, args.out_dir, batch=batch, platforms=platforms
         )
     else:

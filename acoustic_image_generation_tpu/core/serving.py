@@ -411,6 +411,94 @@ def export_projection(
     return manifest
 
 
+def export_joint(
+    task,
+    state,
+    out_dir: str,
+    *,
+    batch: int | str = "poly",
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize a trained joint-MVAE model (``JointTask`` with
+    ``onlyaudiovideo`` — JointTwomvae — or ``fusion`` — JointTwomvae2)
+    into a serving artifact: one second of video + raw audio in,
+    generated acoustic images out via the joint associator's acoustic
+    feature-map head and the acoustic decoder's ``from_features`` stage
+    (``/root/reference/trainer/trainermulti.py:52-59,99-100``). The
+    plain jointmvae variant conditions its associator on real acoustic
+    features and has no acoustic-free serve path — exporting it raises."""
+    from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
+
+    if not (task.onlyaudiovideo or task.fusion):
+        raise ValueError(
+            "joint serving needs --onlyaudiovideo or --fusion (the plain "
+            "jointmvae associator consumes real acoustic features)"
+        )
+    channels = int(task.cfg.data.num_channels)
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats)
+    variant = "onlyaudiovideo" if task.onlyaudiovideo else "fusion"
+
+    def serve(audio, video, seed):
+        frames = audio.shape[0]
+        batch_ = _Batch(
+            acoustic=jnp.zeros((frames, 36, 48, channels)),
+            audio=audio,
+            mfcc=jnp.zeros((frames, 12)),
+            video=video,
+            action=jnp.zeros((frames,), jnp.int32),
+            location=jnp.zeros((frames,), jnp.int32),
+            filtered_mfcc=jnp.zeros((frames, 12)),
+        )
+        rngs = {"latent": jax.random.key(seed)}
+        inputs = task._inputs(batch_)
+        _, f_vi, f_au = task._features(
+            params, batch_stats, inputs, rngs, train=False
+        )
+        assoc = ("associator1", task.associator1) if task.onlyaudiovideo else (
+            "associator", task.associator
+        )
+        pred = assoc[1].apply({"params": params[assoc[0]]}, f_vi, f_au)
+        ac_out = task._stage2(params, batch_stats, "acoustic", pred["ac"], rngs)
+        return (ac_out.output.astype(jnp.float32),)
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    frames = b * 12
+    args = (
+        jax.ShapeDtypeStruct((frames, 1024), np.float32),
+        jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
+        jax.ShapeDtypeStruct((), np.int32),
+    )
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": FORMAT,
+        "kind": "joint",
+        "platforms": list(platforms),
+        "batch": "poly" if batch == "poly" else int(batch),
+        "channels": channels,
+        "variant": variant,
+        "inputs": {
+            "audio": ["b*12", 1024],
+            "video": ["b*12", 224, 298, 3],
+            "seed": [],
+        },
+        "outputs": ["generated"],
+        "module_bytes": len(blob),
+        "weights_sha256": _params_digest(params, batch_stats),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServingModel:
     """A loaded serving artifact: ``generate(mfcc, video, seed)`` for
     generation artifacts, ``classify(inputs)`` for classification ones."""
@@ -479,9 +567,11 @@ class ServingModel:
 
     def project(self, audio, video, seed: int = 0):
         """One second per row (audio samples (N*12,1024), video frames
-        (N*12,224,298,3)) -> generated acoustic images (N,36,48,C)
-        decoded from the translated latent."""
-        if self.kind != "projection":
+        (N*12,224,298,3)) -> generated acoustic images (N,36,48,C).
+        Serves both projection artifacts (translated-latent decode) and
+        joint artifacts (joint-MVAE feature-map decode) — same
+        signature, same semantics: acoustic images from video/audio."""
+        if self.kind not in ("projection", "joint"):
             raise ValueError(f"{self.kind} artifact has no project()")
         audio = np.asarray(audio, np.float32)
         video = np.asarray(video, np.float32)

@@ -329,6 +329,63 @@ def test_projection_artifact_matches_in_process(tmp_path):
     assert (gen >= 0).all() and (gen <= 1).all()
 
 
+@pytest.mark.slow
+def test_joint_artifact_matches_in_process(tmp_path):
+    """Joint-MVAE artifact (onlyaudiovideo / JointTwomvae): video+audio
+    in, acoustic image decoded from the associator's acoustic feature
+    map out, parity vs the in-process path (trainermulti.py semantics).
+    The plain jointmvae variant must refuse (its associator consumes
+    real acoustic features)."""
+    from acoustic_image_generation_tpu.train.joint import JointTask
+
+    def make_task(**model_kw):
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=2, sample_length=1),
+            model=ModelConfig(embedding=True, jointmvae=True, **model_kw),
+            optim=OptimConfig(learning_rate=1e-3, num_epochs=1),
+            run=RunConfig(exp_name="joint", checkpoint_dir=str(tmp_path), seed=0),
+            parallel=ParallelConfig(compute_dtype="float32"),
+        )
+        return JointTask(cfg)
+
+    task = make_task(onlyaudiovideo=True)
+    rs = np.random.RandomState(5)
+    audio = rs.rand(24, 1024).astype(np.float32)
+    video = rs.rand(24, 224, 298, 3).astype(np.float32)
+    zero_batch = Batch(
+        acoustic=jnp.zeros((24, 36, 48, 12)),
+        audio=audio,
+        mfcc=jnp.zeros((24, 12)),
+        video=video,
+        action=jnp.zeros((24,), jnp.int32),
+        location=jnp.zeros((24,), jnp.int32),
+        filtered_mfcc=jnp.zeros((24, 12)),
+    )
+    params, batch_stats = task.init_variables(jax.random.key(0), zero_batch)
+    art = str(tmp_path / "joint_art")
+    manifest = serving.export_joint(task, _State(params, batch_stats), art)
+    assert manifest["kind"] == "joint"
+    assert manifest["variant"] == "onlyaudiovideo"
+
+    model = serving.load_artifact(art)
+    gen = model.project(audio, video, seed=11)
+    # in-process twin of the serve path
+    rngs = {"latent": jax.random.key(np.int32(11))}
+    inputs = task._inputs(zero_batch)
+    _, f_vi, f_au = task._features(params, batch_stats, inputs, rngs, train=False)
+    pred = task.associator1.apply({"params": params["associator1"]}, f_vi, f_au)
+    ref = np.asarray(
+        task._stage2(params, batch_stats, "acoustic", pred["ac"], rngs).output,
+        np.float32,
+    )
+    assert gen.shape == (2, 36, 48, 12)
+    np.testing.assert_allclose(gen, ref, rtol=0, atol=5e-5)
+
+    plain = make_task()
+    with pytest.raises(ValueError, match="onlyaudiovideo or --fusion"):
+        serving.export_joint(plain, _State(params, batch_stats), str(tmp_path / "x"))
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
