@@ -41,6 +41,28 @@ from jax import export as jax_export
 FORMAT = "aig-serving-v1"
 
 
+def _write_artifact(exported, out_dir: str, manifest: dict) -> dict:
+    """Serialize an ``Exported`` + manifest into the artifact directory;
+    fills the ``format``/``module_bytes`` fields and returns the
+    completed manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {"format": FORMAT, **manifest, "module_bytes": len(blob)}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def _batch_dim(batch):
+    """\"poly\" -> a fresh symbolic batch dim; int -> itself."""
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+        return b
+    return int(batch)
+
+
 def _spatial_serving_mesh(n: int):
     """A 1-axis local mesh of ``n`` devices plus the spatial-serving
     shardings (video height split — ``parallel.spatial_sharding``
@@ -125,10 +147,7 @@ def export_generation(
         )
         return (gen, find_logen(gen)) if energy else (gen,)
 
-    if batch == "poly":
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch)
+    b = _batch_dim(batch)
     mfcc_t = jax.ShapeDtypeStruct((b, 12), np.float32)
     video_t = jax.ShapeDtypeStruct((b, 224, 298, 3), np.float32)
     seed_t = jax.ShapeDtypeStruct((), np.int32)
@@ -145,12 +164,7 @@ def export_generation(
         mfcc_t, video_t, seed_t
     )
 
-    os.makedirs(out_dir, exist_ok=True)
-    blob = exported.serialize()
-    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": FORMAT,
+    return _write_artifact(exported, out_dir, {
         "kind": "generation",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -164,12 +178,8 @@ def export_generation(
             "seed": [],
         },
         "outputs": (["generated", "energy"] if energy else ["generated"]),
-        "module_bytes": len(blob),
         "weights_sha256": _params_digest(params, batch_stats, qtrunk_host),
-    }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest
+    })
 
 
 def export_classification(
@@ -217,10 +227,7 @@ def export_classification(
             )
         return (task._logits(params, batch_),)
 
-    if batch == "poly":
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch)
+    b = _batch_dim(batch)
     frames = b * num_frames
     if mfccmap:
         in_t = jax.ShapeDtypeStruct((frames, 12), np.float32)
@@ -230,12 +237,7 @@ def export_classification(
         in_spec = ["b*F", 36, 48, channels]
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(in_t)
 
-    os.makedirs(out_dir, exist_ok=True)
-    blob = exported.serialize()
-    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": FORMAT,
+    return _write_artifact(exported, out_dir, {
         "kind": "classification",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -245,12 +247,8 @@ def export_classification(
         "mfccmap": mfccmap,
         "inputs": {"mfcc" if mfccmap else "acoustic": in_spec},
         "outputs": ["clip_logits"],
-        "module_bytes": len(blob),
         "weights_sha256": _params_digest(params),
-    }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest
+    })
 
 
 def export_embedding(
@@ -291,11 +289,7 @@ def export_embedding(
         )
         return (z["acoustic"], z["audio"], z["video"])
 
-    if batch == "poly":
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch)
-    frames = b * 12
+    frames = _batch_dim(batch) * 12
     args = (
         jax.ShapeDtypeStruct((frames, 36, 48, channels), np.float32),
         jax.ShapeDtypeStruct((frames, 1024), np.float32),
@@ -304,12 +298,7 @@ def export_embedding(
     )
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
 
-    os.makedirs(out_dir, exist_ok=True)
-    blob = exported.serialize()
-    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": FORMAT,
+    return _write_artifact(exported, out_dir, {
         "kind": "embedding",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -323,12 +312,8 @@ def export_embedding(
             "seed": [],
         },
         "outputs": ["z_acoustic", "z_audio", "z_video"],
-        "module_bytes": len(blob),
         "weights_sha256": _params_digest(params, batch_stats),
-    }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest
+    })
 
 
 def export_projection(
@@ -373,11 +358,7 @@ def export_projection(
         )
         return (out.output.astype(jnp.float32),)
 
-    if batch == "poly":
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch)
-    frames = b * 12
+    frames = _batch_dim(batch) * 12
     args = (
         jax.ShapeDtypeStruct((frames, 1024), np.float32),
         jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
@@ -385,12 +366,7 @@ def export_projection(
     )
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
 
-    os.makedirs(out_dir, exist_ok=True)
-    blob = exported.serialize()
-    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": FORMAT,
+    return _write_artifact(exported, out_dir, {
         "kind": "projection",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -403,12 +379,8 @@ def export_projection(
             "seed": [],
         },
         "outputs": ["generated"],
-        "module_bytes": len(blob),
         "weights_sha256": _params_digest(params, batch_stats),
-    }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest
+    })
 
 
 def export_joint(
@@ -462,11 +434,7 @@ def export_joint(
         ac_out = task._stage2(params, batch_stats, "acoustic", pred["ac"], rngs)
         return (ac_out.output.astype(jnp.float32),)
 
-    if batch == "poly":
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch)
-    frames = b * 12
+    frames = _batch_dim(batch) * 12
     args = (
         jax.ShapeDtypeStruct((frames, 1024), np.float32),
         jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
@@ -474,12 +442,7 @@ def export_joint(
     )
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
 
-    os.makedirs(out_dir, exist_ok=True)
-    blob = exported.serialize()
-    with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": FORMAT,
+    return _write_artifact(exported, out_dir, {
         "kind": "joint",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -491,12 +454,8 @@ def export_joint(
             "seed": [],
         },
         "outputs": ["generated"],
-        "module_bytes": len(blob),
         "weights_sha256": _params_digest(params, batch_stats),
-    }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest
+    })
 
 
 class ServingModel:
