@@ -495,10 +495,12 @@ def cmd_generate(args) -> int:
 
 
 def cmd_export_serving(args) -> int:
-    """Serialize a trained generator into a self-contained StableHLO
-    serving artifact (``core/serving.py``): weights baked in, batch
-    dimension shape-polymorphic, runnable on the exported platforms with
-    no model code or checkpoint plumbing. Pair with
+    """Serialize a trained model into a self-contained StableHLO serving
+    artifact (``core/serving.py``, docs/SERVING.md): weights baked in,
+    batch dimension shape-polymorphic, runnable on the exported
+    platforms with no model code or checkpoint plumbing. Dispatches on
+    the recipe in the train flags — flagship generator, DualCamNet
+    classifier, 3-VAE embedder, projection, or joint-MVAE. Pair with
     ``generate --artifact DIR`` or ``core.serving.load_artifact``."""
     from acoustic_image_generation_tpu.cli.main import (
         build_parser as main_parser,
