@@ -577,6 +577,41 @@ def cmd_export_serving(args) -> int:
     return 0
 
 
+def cmd_serve_info(args) -> int:
+    """Print a serving artifact's manifest (kind, signature, platforms,
+    weight digest, module size) without loading the module — the cheap
+    way to identify an artifact before shipping it."""
+    path = os.path.join(args.artifact_dir, "manifest.json")
+    if not os.path.exists(path):
+        print(f"no manifest.json under {args.artifact_dir}")
+        return 2
+    with open(path) as f:
+        manifest = json.load(f)
+    if args.json:
+        print(json.dumps(manifest, indent=2))
+        return 0
+    kind = manifest.get("kind", "generation")
+    print(f"format:    {manifest.get('format')}")
+    print(f"kind:      {kind}")
+    print(f"platforms: {','.join(manifest.get('platforms', []))}")
+    print(f"batch:     {manifest.get('batch')}")
+    for name, shape in manifest.get("inputs", {}).items():
+        print(f"input:     {name} {shape}")
+    print(f"outputs:   {', '.join(manifest.get('outputs', []))}")
+    extras = {
+        k: manifest[k]
+        for k in ("energy", "spatial_shards", "trunk_quant", "num_classes",
+                  "num_frames", "mfccmap", "latent_dim", "use_mean",
+                  "encoder_type", "fusion", "variant")
+        if k in manifest
+    }
+    for k, v in extras.items():
+        print(f"{k + ':':<11}{v}")
+    print(f"module:    {manifest.get('module_bytes', 0):,} bytes")
+    print(f"weights:   sha256:{manifest.get('weights_sha256', '')[:16]}…")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aig-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -699,6 +734,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated lowering platforms")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_export_serving)
+
+    s = sub.add_parser("serve-info", help="print a serving artifact's manifest")
+    s.add_argument("artifact_dir")
+    s.add_argument("--json", action="store_true", help="raw manifest JSON")
+    s.set_defaults(fn=cmd_serve_info)
 
     s = sub.add_parser(
         "export-tf1",

@@ -386,6 +386,26 @@ def test_joint_artifact_matches_in_process(tmp_path):
         serving.export_joint(plain, _State(params, batch_stats), str(tmp_path / "x"))
 
 
+@pytest.mark.slow
+def test_serve_info_cli(tiny_flagship, capsys):
+    """`tools serve-info` prints the manifest without loading the
+    module; --json round-trips it."""
+    from acoustic_image_generation_tpu.cli import tools
+
+    rc = tools.main(["serve-info", tiny_flagship["art_dir"]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "kind:      generation" in out
+    assert "energy:    True" in out
+    assert "module:" in out and "sha256:" in out
+    rc = tools.main(["serve-info", "--json", tiny_flagship["art_dir"]])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest == tiny_flagship["manifest"]
+    assert tools.main(["serve-info", "/nonexistent"]) == 2
+    capsys.readouterr()
+
+
 def test_load_rejects_unknown_format(tmp_path):
     os.makedirs(tmp_path / "art", exist_ok=True)
     with open(tmp_path / "art" / "manifest.json", "w") as f:
