@@ -524,10 +524,13 @@ def cmd_export_serving(args) -> int:
     is_emb = isinstance(task, EmbedTask)
     is_proj = isinstance(task, ProjectTask)
     is_joint = isinstance(task, JointTask)
-    assert is_gen or is_cls or is_emb or is_proj or is_joint, (
-        "export-serving supports the generation, classification, "
-        "embedding, projection and joint recipes"
-    )
+    if not (is_gen or is_cls or is_emb or is_proj or is_joint):
+        print(
+            "export-serving supports the generation, classification, "
+            f"embedding, projection and joint recipes; --train_flags "
+            f"selected {type(task).__name__}"
+        )
+        return 2
     trainer = Trainer(task, config)
     loader = make_loader(config, "training")
     first = None
@@ -540,39 +543,56 @@ def cmd_export_serving(args) -> int:
     state = trainer.restore(args.checkpoint, template)
     batch = "poly" if args.batch == "poly" else int(args.batch)
     platforms = tuple(args.platforms.split(","))
-    if is_gen:
-        trainer._maybe_build_qtrunk(state, first)
-        manifest = serving.export_generation(
-            task,
-            state,
-            args.out_dir,
-            energy=args.energy,
-            qtrunk=trainer._qtrunk,
-            batch=batch,
-            platforms=platforms,
-            spatial_shards=args.spatial_shards,
-        )
-    elif is_emb:
-        manifest = serving.export_embedding(
-            task, state, args.out_dir, use_mean=args.use_mean,
-            batch=batch, platforms=platforms,
-        )
-    elif is_proj:
-        manifest = serving.export_projection(
-            task, state, args.out_dir, batch=batch, platforms=platforms
-        )
-    elif is_joint:
-        manifest = serving.export_joint(
-            task, state, args.out_dir, batch=batch, platforms=platforms
-        )
-    else:
-        manifest = serving.export_classification(
-            task, state, args.out_dir, batch=batch, platforms=platforms
-        )
+    ext = bool(args.external_weights)
+    try:
+        if is_gen:
+            trainer._maybe_build_qtrunk(state, first)
+            manifest = serving.export_generation(
+                task,
+                state,
+                args.out_dir,
+                energy=args.energy,
+                qtrunk=trainer._qtrunk,
+                batch=batch,
+                platforms=platforms,
+                spatial_shards=args.spatial_shards,
+                external_weights=ext,
+            )
+        elif is_emb:
+            manifest = serving.export_embedding(
+                task, state, args.out_dir, use_mean=args.use_mean,
+                batch=batch, platforms=platforms, external_weights=ext,
+            )
+        elif is_proj:
+            manifest = serving.export_projection(
+                task, state, args.out_dir, batch=batch, platforms=platforms,
+                external_weights=ext,
+            )
+        elif is_joint:
+            manifest = serving.export_joint(
+                task, state, args.out_dir, batch=batch, platforms=platforms,
+                external_weights=ext,
+            )
+        else:
+            manifest = serving.export_classification(
+                task, state, args.out_dir, batch=batch, platforms=platforms,
+                external_weights=ext,
+            )
+    except ValueError as e:
+        # Export-time contract violations (e.g. --energy on a 13-channel
+        # recipe, non-divisible spatial shards) report like the rest of
+        # this CLI: a message and exit code 2, not a traceback.
+        print(f"export-serving: {e}")
+        return 2
     print(
         f"exported {manifest['kind']} artifact:"
         f" {manifest['module_bytes']} StableHLO bytes"
-        f" (platforms {','.join(manifest['platforms'])}) -> {args.out_dir}"
+        + (
+            f" + {manifest['weights_bytes']} external weight bytes"
+            if manifest.get("external_weights")
+            else ""
+        )
+        + f" (platforms {','.join(manifest['platforms'])}) -> {args.out_dir}"
     )
     return 0
 
@@ -609,6 +629,8 @@ def cmd_serve_info(args) -> int:
         print(f"{k + ':':<11}{v}")
     print(f"module:    {manifest.get('module_bytes', 0):,} bytes")
     print(f"weights:   sha256:{manifest.get('weights_sha256', '')[:16]}…")
+    if manifest.get("external_weights"):
+        print(f"external:  weights.msgpack {manifest.get('weights_bytes', 0):,} bytes")
     return 0
 
 
@@ -732,6 +754,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help='"poly" (default, any batch size) or a fixed int')
     s.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
+    s.add_argument("--external_weights", action="store_true",
+                   help="ship weights in weights.msgpack beside a small "
+                        "pure-program module instead of baking them in as "
+                        "StableHLO constants (keeps the large projection/"
+                        "joint modules a few MB)")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_export_serving)
 

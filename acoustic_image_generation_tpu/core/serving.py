@@ -41,18 +41,89 @@ from jax import export as jax_export
 FORMAT = "aig-serving-v1"
 
 
-def _write_artifact(exported, out_dir: str, manifest: dict) -> dict:
+def runtime_platforms() -> tuple:
+    """Lowering-platform names servable by this process's backend.
+
+    ``jax.default_backend()`` reports the *backend* name — ``'gpu'`` on
+    both CUDA and ROCm runtimes — while ``jax.export`` lowering
+    platforms are spelled ``'cuda'``/``'rocm'``. Map the backend to the
+    set of lowering names it can execute so artifacts lowered for CUDA
+    are not falsely rejected on a GPU runtime."""
+    backend = jax.default_backend()
+    if backend == "gpu":
+        return ("cuda", "rocm")
+    return (backend,)
+
+
+def default_export_platform() -> str:
+    """The lowering-platform name to export for *this* runtime.
+
+    The inverse of :func:`runtime_platforms` for export callers (e.g.
+    ``bench.py``'s artifact mode): on a GPU backend pick the concrete
+    lowering name from the device platform version rather than the
+    invalid ``'gpu'``."""
+    backend = jax.default_backend()
+    if backend != "gpu":
+        return backend
+    version = getattr(jax.devices()[0].client, "platform_version", "")
+    return "rocm" if "rocm" in version.lower() else "cuda"
+
+
+def _write_artifact(
+    exported, out_dir: str, manifest: dict, weight_leaves=None
+) -> dict:
     """Serialize an ``Exported`` + manifest into the artifact directory;
-    fills the ``format``/``module_bytes`` fields and returns the
-    completed manifest."""
+    fills the ``format``/``module_bytes``/``module_sha256`` fields and
+    returns the completed manifest. When ``weight_leaves`` is given the
+    artifact uses external weights: the flat leaf list is written to
+    ``weights.msgpack`` (flax msgpack — preserves bf16/int8/f8 dtypes)
+    and the module expects them as its leading call arguments."""
+    import flax.serialization
+
     os.makedirs(out_dir, exist_ok=True)
     blob = exported.serialize()
     with open(os.path.join(out_dir, "module.stablehlo"), "wb") as f:
         f.write(blob)
-    manifest = {"format": FORMAT, **manifest, "module_bytes": len(blob)}
+    manifest = {
+        "format": FORMAT,
+        **manifest,
+        "module_bytes": len(blob),
+        "module_sha256": hashlib.sha256(blob).hexdigest(),
+    }
+    if weight_leaves is not None:
+        wblob = flax.serialization.to_bytes(list(weight_leaves))
+        with open(os.path.join(out_dir, "weights.msgpack"), "wb") as f:
+            f.write(wblob)
+        manifest["external_weights"] = True
+        manifest["weights_bytes"] = len(wblob)
+        manifest["external_weights_sha256"] = hashlib.sha256(wblob).hexdigest()
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def _export_external(serve, weights, args, platforms):
+    """Lower ``serve(weights, *inputs)`` with the weight pytree as module
+    *arguments* instead of baked StableHLO constants.
+
+    Baked-constant modules embed every parameter in the serialized
+    StableHLO, which makes the large-latent projection/joint modules
+    ~460 MB — bigger than some proxied runtimes' compile-request caps
+    (docs/SERVING.md). External mode keeps the module a few MB of pure
+    program; the weights travel beside it in ``weights.msgpack`` and
+    :func:`load_artifact` re-attaches them. Returns ``(exported,
+    flat_host_leaves)``."""
+    leaves, treedef = jax.tree_util.tree_flatten(weights)
+    leaves = [np.asarray(leaf) for leaf in leaves]
+
+    def serve_flat(flat, *inputs):
+        return serve(jax.tree_util.tree_unflatten(treedef, flat), *inputs)
+
+    leaf_ts = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
+    exported = jax_export.export(jax.jit(serve_flat), platforms=list(platforms))(
+        leaf_ts, *args
+    )
+    return exported, leaves
 
 
 def _batch_dim(batch):
@@ -101,6 +172,7 @@ def export_generation(
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
     spatial_shards: int = 1,
+    external_weights: bool = False,
 ) -> dict:
     """Serialize ``task.generate`` (GenerationTask) around a trained
     ``state`` into a deployable artifact directory.
@@ -128,6 +200,9 @@ def export_generation(
         that many local devices at export AND serve time; the serve-time
         platform must also match (a sharded module is not
         cross-platform-portable the way a 1-device one is).
+      external_weights: ship the weights in ``weights.msgpack`` next to
+        a small pure-program module instead of baking them in as
+        StableHLO constants (incompatible with ``spatial_shards>1``).
 
     Returns the manifest dict.
     """
@@ -136,35 +211,49 @@ def export_generation(
     channels = int(task.cfg.data.num_channels)
     if energy and channels != 12:
         raise ValueError("energy inversion is defined for 12-channel MFCC images")
+    if external_weights and spatial_shards > 1:
+        raise ValueError(
+            "external_weights is incompatible with spatial_shards>1 "
+            "(the sharded module bakes replicated weight constants)"
+        )
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)
     qtrunk_host = jax.device_get(qtrunk) if qtrunk is not None else None
+    weights = {"params": params, "batch_stats": batch_stats}
+    if qtrunk_host is not None:
+        weights["qtrunk"] = qtrunk_host
 
-    def serve(mfcc, video, seed):
+    def serve(w, mfcc, video, seed):
         key = jax.random.key(seed)
         gen = task.generate(
-            params, batch_stats, mfcc, video, key, qtrunk=qtrunk_host
+            w["params"], w["batch_stats"], mfcc, video, key,
+            qtrunk=w.get("qtrunk"),
         )
         return (gen, find_logen(gen)) if energy else (gen,)
 
     b = _batch_dim(batch)
-    mfcc_t = jax.ShapeDtypeStruct((b, 12), np.float32)
-    video_t = jax.ShapeDtypeStruct((b, 224, 298, 3), np.float32)
-    seed_t = jax.ShapeDtypeStruct((), np.int32)
-    if spatial_shards > 1:
-        mesh, vid_sh, rep = _spatial_serving_mesh(spatial_shards)
-        jit_serve = jax.jit(
-            serve,
-            in_shardings=(rep, vid_sh, rep),
-            out_shardings=rep,
-        )
-    else:
-        jit_serve = jax.jit(serve)
-    exported = jax_export.export(jit_serve, platforms=list(platforms))(
-        mfcc_t, video_t, seed_t
+    args = (
+        jax.ShapeDtypeStruct((b, 12), np.float32),
+        jax.ShapeDtypeStruct((b, 224, 298, 3), np.float32),
+        jax.ShapeDtypeStruct((), np.int32),
     )
+    leaves = None
+    if external_weights:
+        exported, leaves = _export_external(serve, weights, args, platforms)
+    else:
+        baked = lambda m, v, s: serve(weights, m, v, s)  # noqa: E731
+        if spatial_shards > 1:
+            mesh, vid_sh, rep = _spatial_serving_mesh(spatial_shards)
+            jit_serve = jax.jit(
+                baked,
+                in_shardings=(rep, vid_sh, rep),
+                out_shardings=rep,
+            )
+        else:
+            jit_serve = jax.jit(baked)
+        exported = jax_export.export(jit_serve, platforms=list(platforms))(*args)
 
-    return _write_artifact(exported, out_dir, {
+    return _write_artifact(exported, out_dir, weight_leaves=leaves, manifest={
         "kind": "generation",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -189,6 +278,7 @@ def export_classification(
     *,
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    external_weights: bool = False,
 ) -> dict:
     """Serialize a trained DualCamNet classifier (``ClassificationTask``)
     into a serving artifact: per-frame acoustic images (or mfcc vectors
@@ -200,10 +290,12 @@ def export_classification(
     num_frames = int(task.num_frames)
     mfccmap = bool(task.cfg.model.mfccmap)
     params = jax.device_get(state.params)
+    weights = {"params": params}
 
     from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
 
-    def serve(inputs):
+    def serve(w, inputs):
+        params = w["params"]
         zeros_like_frames = jnp.zeros((inputs.shape[0],), jnp.int32)
         if mfccmap:
             batch_ = _Batch(
@@ -235,9 +327,15 @@ def export_classification(
     else:
         in_t = jax.ShapeDtypeStruct((frames, 36, 48, channels), np.float32)
         in_spec = ["b*F", 36, 48, channels]
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(in_t)
+    leaves = None
+    if external_weights:
+        exported, leaves = _export_external(serve, weights, (in_t,), platforms)
+    else:
+        exported = jax_export.export(
+            jax.jit(lambda x: serve(weights, x)), platforms=list(platforms)
+        )(in_t)
 
-    return _write_artifact(exported, out_dir, {
+    return _write_artifact(exported, out_dir, weight_leaves=leaves, manifest={
         "kind": "classification",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -259,6 +357,7 @@ def export_embedding(
     use_mean: bool = False,
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    external_weights: bool = False,
 ) -> dict:
     """Serialize a trained 3-VAE embedding model (``EmbedTask``) into a
     serving artifact: one second of each modality in (acoustic frames,
@@ -272,8 +371,9 @@ def export_embedding(
     channels = int(task.cfg.data.num_channels)
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)
+    weights = {"params": params, "batch_stats": batch_stats}
 
-    def serve(acoustic, audio, video, seed):
+    def serve(w, acoustic, audio, video, seed):
         frames = acoustic.shape[0]
         batch_ = _Batch(
             acoustic=acoustic,
@@ -285,7 +385,8 @@ def export_embedding(
             filtered_mfcc=jnp.zeros((frames, 12)),
         )
         z = task.embeddings(
-            params, batch_stats, batch_, jax.random.key(seed), use_mean=use_mean
+            w["params"], w["batch_stats"], batch_, jax.random.key(seed),
+            use_mean=use_mean,
         )
         return (z["acoustic"], z["audio"], z["video"])
 
@@ -296,9 +397,15 @@ def export_embedding(
         jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
         jax.ShapeDtypeStruct((), np.int32),
     )
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    leaves = None
+    if external_weights:
+        exported, leaves = _export_external(serve, weights, args, platforms)
+    else:
+        exported = jax_export.export(
+            jax.jit(lambda *a: serve(weights, *a)), platforms=list(platforms)
+        )(*args)
 
-    return _write_artifact(exported, out_dir, {
+    return _write_artifact(exported, out_dir, weight_leaves=leaves, manifest={
         "kind": "embedding",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -323,6 +430,7 @@ def export_projection(
     *,
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    external_weights: bool = False,
 ) -> dict:
     """Serialize a trained projection model (``ProjectTask``) into a
     serving artifact: one second of video frames and/or raw audio in,
@@ -334,14 +442,17 @@ def export_projection(
     consumed at serve time). Note the module is large (~460 MB at f32:
     the video VAE's 1024-latent dense layers become baked constants) —
     proxied runtimes with request-size caps may reject the compile even
-    though local runtimes handle it fine."""
+    though local runtimes handle it fine — or pass
+    ``external_weights=True`` for a few-MB pure-program module with the
+    weights shipped beside it in ``weights.msgpack``."""
     from acoustic_image_generation_tpu.data.preprocess import Batch as _Batch
 
     channels = int(task.cfg.data.num_channels)
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)
+    weights = {"params": params, "batch_stats": batch_stats}
 
-    def serve(audio, video, seed):
+    def serve(w, audio, video, seed):
         frames = audio.shape[0]
         batch_ = _Batch(
             acoustic=jnp.zeros((frames, 36, 48, channels)),
@@ -354,7 +465,7 @@ def export_projection(
         )
         rngs = {"latent": jax.random.key(seed)}
         _, out, mean, std, _, _ = task._forward(
-            params, batch_stats, batch_, rngs, train=False
+            w["params"], w["batch_stats"], batch_, rngs, train=False
         )
         return (out.output.astype(jnp.float32),)
 
@@ -364,9 +475,15 @@ def export_projection(
         jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
         jax.ShapeDtypeStruct((), np.int32),
     )
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    leaves = None
+    if external_weights:
+        exported, leaves = _export_external(serve, weights, args, platforms)
+    else:
+        exported = jax_export.export(
+            jax.jit(lambda *a: serve(weights, *a)), platforms=list(platforms)
+        )(*args)
 
-    return _write_artifact(exported, out_dir, {
+    return _write_artifact(exported, out_dir, weight_leaves=leaves, manifest={
         "kind": "projection",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -390,6 +507,7 @@ def export_joint(
     *,
     batch: int | str = "poly",
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    external_weights: bool = False,
 ) -> dict:
     """Serialize a trained joint-MVAE model (``JointTask`` with
     ``onlyaudiovideo`` — JointTwomvae — or ``fusion`` — JointTwomvae2)
@@ -409,9 +527,11 @@ def export_joint(
     channels = int(task.cfg.data.num_channels)
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)
+    weights = {"params": params, "batch_stats": batch_stats}
     variant = "onlyaudiovideo" if task.onlyaudiovideo else "fusion"
 
-    def serve(audio, video, seed):
+    def serve(w, audio, video, seed):
+        params, batch_stats = w["params"], w["batch_stats"]
         frames = audio.shape[0]
         batch_ = _Batch(
             acoustic=jnp.zeros((frames, 36, 48, channels)),
@@ -440,9 +560,15 @@ def export_joint(
         jax.ShapeDtypeStruct((frames, 224, 298, 3), np.float32),
         jax.ShapeDtypeStruct((), np.int32),
     )
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    leaves = None
+    if external_weights:
+        exported, leaves = _export_external(serve, weights, args, platforms)
+    else:
+        exported = jax_export.export(
+            jax.jit(lambda *a: serve(weights, *a)), platforms=list(platforms)
+        )(*args)
 
-    return _write_artifact(exported, out_dir, {
+    return _write_artifact(exported, out_dir, weight_leaves=leaves, manifest={
         "kind": "joint",
         "platforms": list(platforms),
         "batch": "poly" if batch == "poly" else int(batch),
@@ -462,10 +588,21 @@ class ServingModel:
     """A loaded serving artifact: ``generate(mfcc, video, seed)`` for
     generation artifacts, ``classify(inputs)`` for classification ones."""
 
-    def __init__(self, exported, manifest: dict):
+    def __init__(self, exported, manifest: dict, weights=None):
         self._exported = exported
         self.manifest = manifest
-        self._call = jax.jit(exported.call)
+        jit_call = jax.jit(exported.call)
+        if weights is not None:
+            # external-weights artifact: the module's leading argument is
+            # the flat weight-leaf list from weights.msgpack. Commit the
+            # leaves to device memory once here — host arrays would be
+            # re-transferred on EVERY call (measured 66 s/call for the
+            # ~1 GB projection weights through the dev tunnel vs
+            # milliseconds once resident).
+            self._weights = [jax.device_put(w) for w in weights]
+            self._call = lambda *inputs: jit_call(self._weights, *inputs)
+        else:
+            self._call = jit_call
 
     @property
     def kind(self) -> str:
@@ -570,11 +707,30 @@ def load_artifact(art_dir: str) -> ServingModel:
             f"unsupported serving artifact format {manifest.get('format')!r}"
         )
     with open(os.path.join(art_dir, "module.stablehlo"), "rb") as f:
-        exported = jax_export.deserialize(f.read())
-    backend = jax.default_backend()
-    if backend not in exported.platforms:
+        blob = f.read()
+    # Cross-check the manifest against the module blob before
+    # deserializing: a mismatched/tampered manifest+module pair (files
+    # copied between artifact dirs) must fail loudly at load time, not
+    # as a confusing unpack/shape error on the first call.
+    if "module_bytes" in manifest and manifest["module_bytes"] != len(blob):
+        raise ValueError(
+            f"manifest.json records {manifest['module_bytes']} StableHLO "
+            f"bytes but module.stablehlo has {len(blob)} — manifest and "
+            "module do not belong to the same export"
+        )
+    if "module_sha256" in manifest:
+        digest = hashlib.sha256(blob).hexdigest()
+        if digest != manifest["module_sha256"]:
+            raise ValueError(
+                "module.stablehlo digest mismatch vs manifest.json "
+                f"({digest[:12]}… != {manifest['module_sha256'][:12]}…) — "
+                "manifest and module do not belong to the same export"
+            )
+    exported = jax_export.deserialize(blob)
+    if not set(runtime_platforms()) & set(exported.platforms):
         raise RuntimeError(
-            f"artifact lowered for {exported.platforms}, runtime is {backend!r}"
+            f"artifact lowered for {exported.platforms}, runtime is "
+            f"{jax.default_backend()!r}"
         )
     shards = manifest.get("spatial_shards", 1)
     if shards > 1 and len(jax.devices()) < shards:
@@ -582,4 +738,21 @@ def load_artifact(art_dir: str) -> ServingModel:
             f"artifact is spatially sharded over {shards} devices; "
             f"runtime has {len(jax.devices())}"
         )
-    return ServingModel(exported, manifest)
+    weights = None
+    if manifest.get("external_weights"):
+        import flax.serialization
+
+        with open(os.path.join(art_dir, "weights.msgpack"), "rb") as f:
+            wblob = f.read()
+        recorded = manifest.get("external_weights_sha256")
+        if recorded is not None:
+            digest = hashlib.sha256(wblob).hexdigest()
+            if digest != recorded:
+                raise ValueError(
+                    "weights.msgpack digest mismatch vs manifest.json "
+                    f"({digest[:12]}… != {recorded[:12]}…) — weights and "
+                    "manifest do not belong to the same export"
+                )
+        restored = flax.serialization.msgpack_restore(wblob)
+        weights = [restored[str(i)] for i in range(len(restored))]
+    return ServingModel(exported, manifest, weights=weights)

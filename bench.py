@@ -326,7 +326,7 @@ def _artifact_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=
     t0 = time.perf_counter()
     serving.export_generation(
         task, state, art_dir, qtrunk=qtrunk, batch=art_batch,
-        platforms=(jax.default_backend(),),
+        platforms=(serving.default_export_platform(),),
     )
     export_s = time.perf_counter() - t0
     model = serving.load_artifact(art_dir)

@@ -414,6 +414,95 @@ def test_load_rejects_unknown_format(tmp_path):
         serving.load_artifact(str(tmp_path / "art"))
 
 
+@pytest.mark.slow
+def test_load_rejects_mismatched_module(tiny_flagship, tmp_path):
+    """manifest.json and module.stablehlo must belong to the same
+    export: a tampered/mixed pair fails at load time with a clear
+    message, not later with an opaque unpack/shape error."""
+    import shutil
+
+    t = tiny_flagship
+    art = tmp_path / "mixed"
+    shutil.copytree(t["art_dir"], art)
+    # truncate the module: byte-count check fires first
+    blob = (art / "module.stablehlo").read_bytes()
+    (art / "module.stablehlo").write_bytes(blob[:-1])
+    with pytest.raises(ValueError, match="do not belong to the same export"):
+        serving.load_artifact(str(art))
+    # same length, different content: the sha256 check fires
+    (art / "module.stablehlo").write_bytes(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="digest mismatch"):
+        serving.load_artifact(str(art))
+    # intact pair loads
+    (art / "module.stablehlo").write_bytes(blob)
+    assert serving.load_artifact(str(art)).kind == "generation"
+
+
+@pytest.mark.slow
+def test_external_weights_artifact_matches_baked(tiny_flagship, tmp_path):
+    """external_weights=True ships a small pure-program module plus
+    weights.msgpack; the loaded artifact must reproduce the baked
+    artifact bit-for-bit (same program, weights as arguments), and a
+    tampered weights file must be rejected at load time."""
+    t = tiny_flagship
+    art = str(tmp_path / "ext")
+    manifest = serving.export_generation(
+        t["task"], _State(t["params"], t["batch_stats"]), art,
+        energy=True, external_weights=True,
+    )
+    assert manifest["external_weights"] is True
+    assert manifest["weights_bytes"] == os.path.getsize(
+        os.path.join(art, "weights.msgpack")
+    )
+    # the module carries no weight constants: it must be a small
+    # fraction of the baked module's size
+    baked_bytes = t["manifest"]["module_bytes"]
+    assert manifest["module_bytes"] < baked_bytes / 3, (
+        manifest["module_bytes"], baked_bytes)
+    model = serving.load_artifact(art)
+    gen, energy = model.generate(t["mfcc"], t["video"], seed=7)
+    baked = serving.load_artifact(t["art_dir"])
+    gen_b, energy_b = baked.generate(t["mfcc"], t["video"], seed=7)
+    np.testing.assert_allclose(gen, gen_b, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(energy, energy_b, rtol=0, atol=1e-4)
+    # tampered weights are rejected before the first call
+    wpath = os.path.join(art, "weights.msgpack")
+    wblob = open(wpath, "rb").read()
+    open(wpath, "wb").write(wblob[:-1] + bytes([wblob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="weights.msgpack digest mismatch"):
+        serving.load_artifact(art)
+    open(wpath, "wb").write(wblob)
+    assert serving.load_artifact(art).kind == "generation"
+
+
+def test_external_weights_rejects_spatial_shards(tiny_flagship, tmp_path):
+    t = tiny_flagship
+    with pytest.raises(ValueError, match="incompatible with spatial_shards"):
+        serving.export_generation(
+            t["task"], _State(t["params"], t["batch_stats"]),
+            str(tmp_path / "x"), external_weights=True, spatial_shards=2,
+        )
+
+
+def test_manifest_records_module_digest(tiny_flagship):
+    t = tiny_flagship
+    import hashlib
+
+    blob = open(os.path.join(t["art_dir"], "module.stablehlo"), "rb").read()
+    assert t["manifest"]["module_sha256"] == hashlib.sha256(blob).hexdigest()
+
+
+def test_runtime_platform_mapping(monkeypatch):
+    """'gpu' backends must accept cuda/rocm-lowered artifacts and export
+    a concrete lowering name (jax.export has no 'gpu' platform)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+    assert set(serving.runtime_platforms()) == {"cuda", "rocm"}
+    assert serving.default_export_platform() in ("cuda", "rocm")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert serving.runtime_platforms() == ("tpu",)
+    assert serving.default_export_platform() == "tpu"
+
+
 def test_export_rejects_energy_for_non12ch(tiny_flagship, tmp_path):
     # music recipes carry 13 channels (find_logen's inversion is a
     # 12-coefficient DCT): energy export must refuse
