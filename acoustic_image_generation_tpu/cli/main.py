@@ -131,6 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_conv", type=int, default=0,
                    help="fused Pallas conv-chain kernels for the "
                         "generator's stride-1 3x3 conv pairs (TPU only)")
+    p.add_argument("--fused_qgemm", type=int, default=0,
+                   help="with --trunk_quant int8: fused Pallas streaming "
+                        "GEMM for the trunk's 1x1 convs (conv+dequant+"
+                        "residual+ReLU+requant in one kernel)")
     # multi-host pods: each process decodes only its slice of the global
     # batch (data/pipeline.py shard_index/shard_count)
     p.add_argument("--host_shard", type=int, default=0)
@@ -178,6 +182,7 @@ def config_from_args(args) -> ExperimentConfig:
             cache_disk_dir=args.cache_disk_dir,
             cache_features_dtype=args.cache_features_dtype,
             fused_conv=bool(args.fused_conv),
+            fused_qgemm=bool(args.fused_qgemm),
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate,

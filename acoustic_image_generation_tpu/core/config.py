@@ -162,6 +162,13 @@ class ModelConfig:
     # rounding per layer). TPU backends only; elsewhere the flag routes
     # through a numerically-identical XLA fallback.
     fused_conv: bool = False
+    # With trunk_quant="int8": run every 1x1 stride-1 trunk conv through
+    # the fused Pallas streaming GEMM (ops/pallas_qgemm.py) — conv +
+    # dequant + bias + shortcut-add + ReLU + requant in one kernel, int8
+    # in / int8 out. Outputs may differ from the XLA int8 path by <=1
+    # int8 quantum (folded-requant rounding order). Measured verdict in
+    # docs/PERF.md.
+    fused_qgemm: bool = False
 
 
 @dataclass(frozen=True)

@@ -162,6 +162,7 @@ def trunk_forward(
     *,
     collect: bool = False,
     out_dtype=jnp.bfloat16,
+    fused_gemm: bool = False,
 ):
     """Quantized trunk forward: normalized video (N,224,298,3) in [0,1]
     -> block4 features at the stop_gradient boundary (N,14,19,2048).
@@ -184,9 +185,22 @@ def trunk_forward(
     for the bf16 trunk, because every activation was written twice
     (bf16 + int8) and the int8 MXU's 1.5x kernel rate can't pay for
     extra traffic on an HBM-bound program.
+
+    ``fused_gemm=True`` (static-scale mode only) routes every 1x1
+    stride-1 conv — all bottleneck ``conv1``/``conv3``/``shortcut``
+    layers; every shortcut is stride-1 because the reference strides the
+    LAST unit of a block through conv2 — through the Pallas streaming
+    GEMM of ops/pallas_qgemm.py, which fuses the conv, dequant, bias,
+    shortcut add, ReLU and requant into one kernel (int8 in, int8 out).
+    The 3x3 conv2 layers and the stem stay on XLA. Outputs may differ
+    from the XLA path by <=1 int8 quantum (the fused epilogue folds the
+    requant scale into factor/bias, reordering two f32 roundings).
     """
     act = qt["act"]
     observed: dict = {}
+    use_fused = fused_gemm and not collect
+    if use_fused:
+        from acoustic_image_generation_tpu.ops.pallas_qgemm import fused_q1x1
 
     def qa(v, site):
         return _quant_act(v, act[site], site, collect, observed)
@@ -203,6 +217,34 @@ def trunk_forward(
     )
     for name, stride in _unit_names(blocks):
         unit = qt[name]
+        if use_fused:
+            # residual as an int8 stream + amax, consumed by conv3's kernel
+            if "shortcut" in unit:
+                # a strided 1x1 SAME conv reads only the subsampled grid,
+                # so it IS the stride-1 GEMM over x[::stride] (strided
+                # shortcuts occur in single-unit blocks, where the block
+                # stride and the projection land on the same unit)
+                sc_in = yq if stride == 1 else yq[:, ::stride, ::stride, :]
+                resq = fused_q1x1(
+                    sc_in, unit["shortcut"], a, act[f"{name}/sc"], relu=False
+                )
+                a_res = act[f"{name}/sc"]
+            elif stride == 1:
+                resq, a_res = yq, a
+            else:
+                resq, a_res = yq[:, ::stride, ::stride, :], a
+            rq = fused_q1x1(yq, unit["conv1"], a, act[f"{name}/c2"], relu=True)
+            a2 = act[f"{name}/c2"]
+            r = jnp.maximum(
+                _qconv(rq, a2, unit["conv2"], stride, fixed_pad=stride > 1), 0.0
+            )
+            rq, a3 = qa(r, f"{name}/c3")
+            yq = fused_q1x1(
+                rq, unit["conv3"], a3, act[f"{name}/out"],
+                relu=True, residual=resq, residual_amax=a_res,
+            )
+            a = act[f"{name}/out"]
+            continue
         if "shortcut" in unit:
             sc = _qconv(yq, a, unit["shortcut"], stride, fixed_pad=False)
             scq, a_sc = qa(sc, f"{name}/sc")

@@ -112,7 +112,11 @@ class GenerationTask:
             from acoustic_image_generation_tpu.models import quant
 
             feat, _ = quant.trunk_forward(
-                qtrunk, video, self._blocks, out_dtype=self.resnet.dtype
+                qtrunk,
+                video,
+                self._blocks,
+                out_dtype=self.resnet.dtype,
+                fused_gemm=getattr(self.cfg.model, "fused_qgemm", False),
             )
             return feat
         return self.resnet.apply(

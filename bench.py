@@ -151,6 +151,9 @@ def main() -> None:
     # AIG_BENCH_FUSED_CONV=1: generator conv chains through the fused
     # Pallas kernels (ops/pallas_conv) instead of XLA's fusions
     fused_conv = os.environ.get("AIG_BENCH_FUSED_CONV", "0") == "1"
+    # AIG_BENCH_FUSED_QGEMM=1: int8 trunk's 1x1 convs through the fused
+    # Pallas streaming GEMM (ops/pallas_qgemm) instead of XLA's fusions
+    fused_qgemm = os.environ.get("AIG_BENCH_FUSED_QGEMM", "0") == "1"
 
     if mode == "pipeline":
         return _pipeline_bench(clips)
@@ -194,7 +197,8 @@ def main() -> None:
         model=ModelConfig(
             embedding=True, mfcc=True, num_skip_conn=1, trunk_bn=trunk_bn,
             cache_trunk_features=use_cache, trunk_quant=trunk_quant,
-            fused_conv=fused_conv, cache_features_dtype=feat_dtype,
+            fused_conv=fused_conv, fused_qgemm=fused_qgemm,
+            cache_features_dtype=feat_dtype,
         ),
         optim=OptimConfig(learning_rate=1e-4),
         run=RunConfig(exp_name="bench", checkpoint_dir="/tmp/aig_bench_ck"),

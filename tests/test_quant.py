@@ -87,6 +87,32 @@ def test_quant_trunk_matches_f32_features(rng_np):
     assert corr > 0.995, f"feature correlation {corr:.5f}"
 
 
+def test_fused_gemm_trunk_matches_xla_trunk(rng_np):
+    """trunk_forward(fused_gemm=True) — every 1x1 conv through the
+    Pallas streaming GEMM (interpret mode off-TPU) — must track the XLA
+    int8 trunk to within the folded-requant rounding slack (<=1 quantum
+    per site, which compounds to a small fraction of the feature
+    scale)."""
+    model = ResNet50(blocks=TINY_BLOCKS, trunk_bn_frozen=True, freeze_trunk=True)
+    video = jnp.asarray(rng_np.uniform(0, 1, (1, 224, 298, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, video, train=False)
+    stats = _randomize_stats(variables["batch_stats"], rng_np)
+    qt = quant.quantize_trunk(variables["params"], stats)
+    qt = quant.calibrate(qt, video, TINY_BLOCKS)
+    ref, _ = quant.trunk_forward(qt, video, TINY_BLOCKS, out_dtype=jnp.float32)
+    got, _ = quant.trunk_forward(
+        qt, video, TINY_BLOCKS, out_dtype=jnp.float32, fused_gemm=True
+    )
+    assert got.shape == ref.shape
+    ref_n, got_n = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    rel = np.linalg.norm(got_n - ref_n) / max(np.linalg.norm(ref_n), 1e-9)
+    assert rel < 0.05, f"fused-vs-xla trunk relative error {rel:.4f}"
+    # rounding-order differences are per-site quanta; through 4 blocks
+    # they stay within a few quanta of the final site's scale
+    quantum = float(qt["act"]["block4_unit_1/out"]) / 127.0
+    assert np.max(np.abs(got_n - ref_n)) <= 8 * quantum + 1e-6
+
+
 def _gen_config(tmp_path, **model_kw):
     return ExperimentConfig(
         data=DataConfig(batch_size=8, sample_length=1),
