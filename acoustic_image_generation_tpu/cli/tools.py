@@ -597,6 +597,31 @@ def cmd_export_serving(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve a StableHLO artifact over HTTP (``core/server.py``): npz
+    request/response, ``/manifest`` + ``/healthz`` probes, execution
+    serialized behind one lock. The network form of
+    ``serving.load_artifact`` — deployment is "copy the artifact dir,
+    run ``tools serve DIR``"."""
+    from acoustic_image_generation_tpu.core.server import ArtifactServer
+
+    try:
+        server = ArtifactServer(args.artifact_dir, host=args.host, port=args.port)
+    except (FileNotFoundError, ValueError, RuntimeError) as e:
+        print(f"serve: {e}")
+        return 2
+    print(
+        f"serving {server.model.kind} artifact on "
+        f"http://{server.host}:{server.port} (POST /call, GET /manifest)",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def cmd_serve_info(args) -> int:
     """Print a serving artifact's manifest (kind, signature, platforms,
     weight digest, module size) without loading the module — the cheap
@@ -761,6 +786,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "joint modules a few MB)")
     s.add_argument("train_flags", nargs=argparse.REMAINDER)
     s.set_defaults(fn=cmd_export_serving)
+
+    s = sub.add_parser(
+        "serve", help="serve a StableHLO artifact over HTTP (npz in/out)"
+    )
+    s.add_argument("artifact_dir")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8321)
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("serve-info", help="print a serving artifact's manifest")
     s.add_argument("artifact_dir")

@@ -503,6 +503,54 @@ def test_runtime_platform_mapping(monkeypatch):
     assert serving.default_export_platform() == "tpu"
 
 
+@pytest.mark.slow
+def test_artifact_http_server_round_trip(tiny_flagship):
+    """core/server.py: the HTTP daemon over a generation artifact must
+    return the same bytes as calling the loaded model directly, expose
+    the manifest, and reject malformed requests with a 400."""
+    import io
+    import urllib.request
+    import urllib.error
+
+    from acoustic_image_generation_tpu.core.server import ArtifactServer
+
+    t = tiny_flagship
+    server = ArtifactServer(t["art_dir"], port=0)
+    server.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["kind"] == "generation"
+        with urllib.request.urlopen(f"{base}/manifest", timeout=30) as r:
+            assert json.load(r)["format"] == serving.FORMAT
+
+        buf = io.BytesIO()
+        np.savez(buf, mfcc=t["mfcc"], video=t["video"], seed=np.int32(7))
+        req = urllib.request.Request(
+            f"{base}/call", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.load(io.BytesIO(r.read()))
+            gen, energy = out["generated"], out["energy"]
+        direct_gen, direct_energy = server.model.generate(
+            t["mfcc"], t["video"], seed=7
+        )
+        np.testing.assert_array_equal(gen, direct_gen)
+        np.testing.assert_array_equal(energy, direct_energy)
+
+        # malformed request (missing video) -> 400 with an error payload
+        buf = io.BytesIO()
+        np.savez(buf, mfcc=t["mfcc"])
+        req = urllib.request.Request(
+            f"{base}/call", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_export_rejects_energy_for_non12ch(tiny_flagship, tmp_path):
     # music recipes carry 13 channels (find_logen's inversion is a
     # 12-coefficient DCT): energy export must refuse
