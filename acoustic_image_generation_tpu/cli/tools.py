@@ -606,7 +606,10 @@ def cmd_serve(args) -> int:
     from acoustic_image_generation_tpu.core.server import ArtifactServer
 
     try:
-        server = ArtifactServer(args.artifact_dir, host=args.host, port=args.port)
+        server = ArtifactServer(
+            args.artifact_dir, host=args.host, port=args.port,
+            max_body_bytes=args.max_body_mb << 20,
+        )
     except (FileNotFoundError, ValueError, RuntimeError) as e:
         print(f"serve: {e}")
         return 2
@@ -793,6 +796,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("artifact_dir")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8321)
+    s.add_argument("--max_body_mb", type=int, default=1024,
+                   help="reject request bodies larger than this (413)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("serve-info", help="print a serving artifact's manifest")

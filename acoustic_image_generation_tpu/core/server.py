@@ -76,11 +76,18 @@ class ArtifactServer:
     how the tests run hermetically). ``serve_forever`` blocks;
     ``start()``/``shutdown()`` run it on a daemon thread."""
 
-    def __init__(self, art_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        art_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_body_bytes: int = 1 << 30,
+    ):
         from acoustic_image_generation_tpu.core.serving import load_artifact
 
         self.model = load_artifact(art_dir)
         self._lock = threading.Lock()
+        self.max_body_bytes = int(max_body_bytes)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -110,12 +117,29 @@ class ArtifactServer:
                     return self._send(404, b"not found", "text/plain")
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    return self._send(
+                        400, b'{"error": "bad Content-Length"}',
+                        "application/json",
+                    )
+                if n > server.max_body_bytes:
+                    body = json.dumps(
+                        {"error": f"body {n} exceeds {server.max_body_bytes}"}
+                    ).encode()
+                    return self._send(413, body, "application/json")
+                try:
                     with np.load(io.BytesIO(self.rfile.read(n))) as npz:
                         arrays = {k: npz[k] for k in npz.files}
                     with server._lock:
                         outputs = _call_model(server.model, arrays)
-                except (KeyError, ValueError) as e:
-                    body = json.dumps({"error": str(e)}).encode()
+                # broad on purpose: empty bodies raise EOFError, corrupt
+                # npz zipfile.BadZipFile, vector seeds TypeError, missing
+                # arrays KeyError, shape/kind violations ValueError — a
+                # bad request must get a 400, never a dropped socket
+                except Exception as e:  # noqa: BLE001
+                    body = json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}
+                    ).encode()
                     return self._send(400, body, "application/json")
                 buf = io.BytesIO()
                 np.savez(buf, **outputs)

@@ -46,22 +46,24 @@ def runtime_platforms() -> tuple:
 
     ``jax.default_backend()`` reports the *backend* name — ``'gpu'`` on
     both CUDA and ROCm runtimes — while ``jax.export`` lowering
-    platforms are spelled ``'cuda'``/``'rocm'``. Map the backend to the
-    set of lowering names it can execute so artifacts lowered for CUDA
-    are not falsely rejected on a GPU runtime."""
+    platforms are spelled ``'cuda'``/``'rocm'``. Resolve the concrete
+    vendor from the device platform version so a cuda-lowered artifact
+    loads on a CUDA runtime but a rocm-only artifact is still rejected
+    there (not deferred to a confusing first-call failure)."""
     backend = jax.default_backend()
     if backend == "gpu":
-        return ("cuda", "rocm")
+        return (default_export_platform(),)
     return (backend,)
 
 
 def default_export_platform() -> str:
-    """The lowering-platform name to export for *this* runtime.
+    """The lowering-platform name matching *this* runtime.
 
-    The inverse of :func:`runtime_platforms` for export callers (e.g.
-    ``bench.py``'s artifact mode): on a GPU backend pick the concrete
-    lowering name from the device platform version rather than the
-    invalid ``'gpu'``."""
+    Used both to pick a valid export platform (e.g. ``bench.py``'s
+    artifact mode — ``'gpu'`` is not a lowering name) and by
+    :func:`runtime_platforms` to gate artifact loading: on a GPU
+    backend the concrete vendor comes from the device platform
+    version."""
     backend = jax.default_backend()
     if backend != "gpu":
         return backend
@@ -215,6 +217,13 @@ def export_generation(
         raise ValueError(
             "external_weights is incompatible with spatial_shards>1 "
             "(the sharded module bakes replicated weight constants)"
+        )
+    if qtrunk is not None and getattr(task.cfg.model, "fused_qgemm", False):
+        raise ValueError(
+            "export with fused_qgemm is unsupported: the Pallas GEMM "
+            "lowers as a TPU-only Mosaic custom call (artifacts must be "
+            "platform-portable) and the fused path measured slower than "
+            "XLA anyway (docs/PERF.md) — export without --fused_qgemm"
         )
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)

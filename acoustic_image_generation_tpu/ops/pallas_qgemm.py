@@ -229,27 +229,18 @@ def fused_q1x1(
 def xla_q1x1_reference(
     x, layer, a_amax, out_amax, *, relu, residual=None, residual_amax=None
 ):
-    """The exact XLA twin of :func:`fused_q1x1` (models/quant.py
-    ``_qconv``/``_quant_act`` composition) — the oracle for tests and the
-    baseline for the on-chip timing comparison."""
-    import jax.lax as lax
+    """The XLA twin of :func:`fused_q1x1`, composed from models/quant.py's
+    OWN ``_qconv``/``_quant_act`` helpers so the oracle can never drift
+    from the production epilogue semantics — the baseline for the tests
+    and the on-chip timing comparison."""
+    from acoustic_image_generation_tpu.models.quant import _qconv, _quant_act
 
-    y = lax.conv_general_dilated(
-        x,
-        layer["w"],
-        (1, 1),
-        "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (
-        (a_amax.astype(jnp.float32) / 127.0) * layer["scale"]
-    ) + layer["bias"]
+    y = _qconv(x, a_amax.astype(jnp.float32), layer, 1, fixed_pad=False)
     if residual is not None:
         y = y + residual.astype(jnp.float32) * (
             residual_amax.astype(jnp.float32) / 127.0
         )
     if relu:
         y = jnp.maximum(y, 0.0)
-    q = jnp.clip(jnp.round(y * (127.0 / jnp.maximum(out_amax, 1e-12))), -127, 127)
-    return q.astype(jnp.int8)
+    q, _ = _quant_act(y, out_amax, "oracle", False, {})
+    return q

@@ -113,6 +113,29 @@ def test_fused_gemm_trunk_matches_xla_trunk(rng_np):
     assert np.max(np.abs(got_n - ref_n)) <= 8 * quantum + 1e-6
 
 
+def test_fused_gemm_trunk_identity_residual_branches(rng_np):
+    """Multi-unit blocks exercise the fused-path branches TINY_BLOCKS
+    cannot: stride-1 identity residuals (unit 2 of block 1) and the
+    strided identity subsample (last unit of a multi-unit strided
+    block) — the branches a real 3/4/6/3 ResNet50 spends most units
+    in."""
+    blocks = ((64, 2, 1), (128, 2, 2), (256, 1, 2), (512, 1, 1))
+    model = ResNet50(blocks=blocks, trunk_bn_frozen=True, freeze_trunk=True)
+    video = jnp.asarray(rng_np.uniform(0, 1, (1, 224, 298, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, video, train=False)
+    stats = _randomize_stats(variables["batch_stats"], rng_np)
+    qt = quant.quantize_trunk(variables["params"], stats)
+    qt = quant.calibrate(qt, video, blocks)
+    ref, _ = quant.trunk_forward(qt, video, blocks, out_dtype=jnp.float32)
+    got, _ = quant.trunk_forward(
+        qt, video, blocks, out_dtype=jnp.float32, fused_gemm=True
+    )
+    assert got.shape == ref.shape
+    ref_n, got_n = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    rel = np.linalg.norm(got_n - ref_n) / max(np.linalg.norm(ref_n), 1e-9)
+    assert rel < 0.05, f"fused-vs-xla trunk relative error {rel:.4f}"
+
+
 def _gen_config(tmp_path, **model_kw):
     return ExperimentConfig(
         data=DataConfig(batch_size=8, sample_length=1),

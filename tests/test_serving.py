@@ -493,11 +493,20 @@ def test_manifest_records_module_digest(tiny_flagship):
 
 
 def test_runtime_platform_mapping(monkeypatch):
-    """'gpu' backends must accept cuda/rocm-lowered artifacts and export
-    a concrete lowering name (jax.export has no 'gpu' platform)."""
+    """'gpu' backends must resolve to the concrete cuda/rocm lowering
+    name (jax.export has no 'gpu' platform) — for loading AND export."""
+
+    class _Dev:
+        class client:
+            platform_version = "rocm 6.1 something"
+
     monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
-    assert set(serving.runtime_platforms()) == {"cuda", "rocm"}
-    assert serving.default_export_platform() in ("cuda", "rocm")
+    monkeypatch.setattr(jax, "devices", lambda: [_Dev()])
+    assert serving.runtime_platforms() == ("rocm",)
+    assert serving.default_export_platform() == "rocm"
+    _Dev.client.platform_version = "cuda 12030"
+    assert serving.runtime_platforms() == ("cuda",)
+    assert serving.default_export_platform() == "cuda"
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert serving.runtime_platforms() == ("tpu",)
     assert serving.default_export_platform() == "tpu"
@@ -538,17 +547,46 @@ def test_artifact_http_server_round_trip(tiny_flagship):
         np.testing.assert_array_equal(gen, direct_gen)
         np.testing.assert_array_equal(energy, direct_energy)
 
-        # malformed request (missing video) -> 400 with an error payload
+        # malformed requests -> 400 with an error payload, never a
+        # dropped socket: missing array (KeyError), empty body
+        # (EOFError), corrupt npz (BadZipFile)
         buf = io.BytesIO()
         np.savez(buf, mfcc=t["mfcc"])
+        for payload in (buf.getvalue(), b"", b"PK\x03\x04corrupt"):
+            req = urllib.request.Request(
+                f"{base}/call", data=payload, method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 400
+            assert "error" in json.load(exc.value)
+        # oversized Content-Length -> 413 before any buffering
+        server.max_body_bytes = 16
         req = urllib.request.Request(
             f"{base}/call", data=buf.getvalue(), method="POST"
         )
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=30)
-        assert exc.value.code == 400
+        assert exc.value.code == 413
     finally:
         server.shutdown()
+
+
+def test_export_rejects_fused_qgemm_artifacts(tiny_flagship, tmp_path):
+    """The Pallas fused-GEMM trunk lowers as a TPU-only Mosaic custom
+    call — int8 artifacts must be exported without it (and it measured
+    slower than XLA anyway, docs/PERF.md)."""
+    import copy
+
+    t = tiny_flagship
+    task = copy.copy(t["task"])
+    task.cfg = copy.deepcopy(t["task"].cfg)
+    object.__setattr__(task.cfg.model, "fused_qgemm", True)
+    with pytest.raises(ValueError, match="fused_qgemm"):
+        serving.export_generation(
+            task, _State(t["params"], t["batch_stats"]), str(tmp_path / "x"),
+            qtrunk={"dummy": jnp.zeros(1)},
+        )
 
 
 def test_export_rejects_energy_for_non12ch(tiny_flagship, tmp_path):
