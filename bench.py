@@ -327,10 +327,15 @@ def _artifact_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=
         if os.environ.get("AIG_BENCH_ARTIFACT_BATCH", "poly") == "poly"
         else clips * 12
     )
+    # AIG_BENCH_ARTIFACT_EXTERNAL=1: external-weights artifact (small
+    # pure-program module + weights.msgpack) — measures what the
+    # weights-as-arguments calling convention costs vs baked constants
+    external = os.environ.get("AIG_BENCH_ARTIFACT_EXTERNAL", "0") == "1"
     t0 = time.perf_counter()
     serving.export_generation(
         task, state, art_dir, qtrunk=qtrunk, batch=art_batch,
         platforms=(serving.default_export_platform(),),
+        external_weights=external,
     )
     export_s = time.perf_counter() - t0
     model = serving.load_artifact(art_dir)
