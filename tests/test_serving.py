@@ -547,6 +547,16 @@ def test_artifact_http_server_round_trip(tiny_flagship):
         np.testing.assert_array_equal(gen, direct_gen)
         np.testing.assert_array_equal(energy, direct_energy)
 
+        # the symmetric client wrapper: same method surface as the
+        # locally loaded ServingModel, byte-identical results
+        from acoustic_image_generation_tpu.core.client import ArtifactClient
+
+        client = ArtifactClient(base)
+        assert client.kind == "generation" and client.healthy()
+        c_gen, c_energy = client.generate(t["mfcc"], t["video"], seed=7)
+        np.testing.assert_array_equal(c_gen, direct_gen)
+        np.testing.assert_array_equal(c_energy, direct_energy)
+
         # malformed requests -> 400 with an error payload, never a
         # dropped socket: missing array (KeyError), empty body
         # (EOFError), corrupt npz (BadZipFile)
