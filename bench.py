@@ -357,6 +357,28 @@ def _artifact_bench(task, params, batch_stats, audio, video, clips: int, qtrunk=
     float(acc)
     dt = time.perf_counter() - t0
     print(f"artifact export {export_s:.1f}s", file=sys.stderr)
+    if os.environ.get("AIG_BENCH_ARTIFACT_HTTP", "0") == "1":
+        # measure the SAME calls through the tools-serve daemon on
+        # localhost (core/server.py + core/client.py): the delta vs the
+        # direct number above is the HTTP + npz-serialization cost of
+        # the network deployment topology
+        from acoustic_image_generation_tpu.core.client import ArtifactClient
+        from acoustic_image_generation_tpu.core.server import ArtifactServer
+
+        http_srv = ArtifactServer(art_dir, port=0)
+        http_srv.start()
+        client = ArtifactClient(f"http://{http_srv.host}:{http_srv.port}")
+        mfcc_np, vid_np = np.asarray(mfcc), np.asarray(vid)
+        client.generate(mfcc_np, vid_np, seed=0)  # warm
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            client.generate(mfcc_np, vid_np, seed=i)
+        http_dt = time.perf_counter() - t0
+        http_srv.shutdown()
+        _emit(
+            "generation_artifact_http_clips_per_sec_chip",
+            n_steps * clips / http_dt,
+        )
     _emit("generation_artifact_infer_clips_per_sec_chip", n_steps * clips / dt)
 
 
